@@ -1,0 +1,487 @@
+"""Batched, fully on-device Levenberg-Marquardt solver for camera calibration.
+
+Functional re-design of the reference solver
+(/root/reference/geocalib/lm_optimizer.py, mirrored at
+/root/reference/siclib/models/optimization/lm_optimizer.py) for TPU/XLA:
+
+- Fixed-iteration ``lax.scan`` with **per-lane convergence freeze masks**
+  instead of the reference's Python loop + host-synced ``torch.allclose``
+  early stop (lm_optimizer.py:551-644). Per-lane freezing is at least as
+  tight as the reference's whole-batch stop and keeps shapes static.
+- The (B, P, P) normal-equation solve is a trace-time-unrolled Cholesky
+  (``linalg.cholesky_solve_small``) — the reference round-trips H and G to
+  the CPU for ``torch.linalg.cholesky`` EVERY iteration
+  (lm_optimizer.py:128-137); here nothing leaves the device.
+- Priors (gravity/focal/distortion) become *static* parameter masks: the
+  Jacobian columns of fixed parameters are zeroed at trace time, damping
+  keeps the system SPD, and the corresponding updates are skipped
+  (reference: setup_optimization_and_priors, lm_optimizer.py:189-246).
+- Shared intrinsics solve the arrow-structured system via a batched Schur
+  complement (linalg.solve_arrow) instead of densifying a (2B+p)² matrix
+  (reference lm_optimizer.py:361-383).
+- Uncertainty propagation (inverse Hessian in roll/pitch/focal space,
+  closed-form 2x2 eigenvalues) stays on-device (reference: CPU eigvalsh,
+  lm_optimizer.py:463-516).
+
+The whole solver is differentiable by construction (scan unrolls in AD,
+matching the reference's train-time unrolled backprop through 10 LM steps).
+"""
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from geocalib_tpu.geometry.camera import NUM_DIST_PARAMS, Camera
+from geocalib_tpu.geometry.gravity import Gravity
+from geocalib_tpu.geometry.jacobians import J_focal2fov
+from geocalib_tpu.geometry.perspective_fields import (
+    J_perspective_field,
+    get_latitude_field_flat,
+    get_up_field_flat,
+)
+from geocalib_tpu.optim import linalg
+from geocalib_tpu.optim.losses import get_loss_fn, scaled_loss
+from geocalib_tpu.utils.conversions import focal2fov
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Static solver configuration (hashable; jit specializes on it).
+
+    Defaults match the reference inference preset
+    (geocalib/lm_optimizer.py:148-162); training uses
+    ``num_steps=10, loss_fn="squared", early_stop=False``
+    (siclib/models/optimization/lm_optimizer.py:43-47).
+    """
+
+    camera_model: str = "pinhole"
+    shared_intrinsics: bool = False
+    num_steps: int = 30
+    lambda_: float = 0.1
+    fix_lambda: bool = False
+    early_stop: bool = True
+    atol: float = 1e-8
+    rtol: float = 1e-8
+    use_spherical_manifold: bool = True
+    use_log_focal: bool = True
+    up_loss_fn_scale: float = 1e-2
+    lat_loss_fn_scale: float = 1e-2
+    loss_fn: str = "huber"
+    use_up: bool = True
+    use_latitude: bool = True
+    # which parameters to optimize; priors flip these to False
+    estimate_gravity: bool = True
+    estimate_focal: bool = True
+    estimate_dist: bool = True
+    with_uncertainty: bool = True
+
+    @property
+    def num_dist(self) -> int:
+        return NUM_DIST_PARAMS[self.camera_model]
+
+    @property
+    def num_params(self) -> int:
+        """Fixed parameter-vector length P = 2 (gravity) + 1 (focal) + K."""
+        return 3 + self.num_dist
+
+    @property
+    def opt_dist(self) -> bool:
+        return self.estimate_dist and self.num_dist > 0
+
+    @property
+    def param_mask(self) -> Tuple[float, ...]:
+        """Static 0/1 mask over [g0, g1, f, k...] columns."""
+        m = [float(self.estimate_gravity)] * 2 + [float(self.estimate_focal)]
+        m += [float(self.opt_dist)] * self.num_dist
+        return tuple(m)
+
+    @property
+    def num_intrinsic(self) -> int:
+        """Intrinsic slots (focal + dist) in the shared-intrinsics solve."""
+        return 1 + self.num_dist
+
+
+class Observations(NamedTuple):
+    """Flattened per-pixel observations driving the solver.
+
+    All fields are flattened over the pixel grid (B, N, C) / (B, N); the
+    sin() of the latitude is precomputed once (residuals live in sin-space,
+    reference lm_optimizer.py:248-274).
+    """
+
+    up: Optional[Array]  # (B, N, 2)
+    lat_sin: Optional[Array]  # (B, N, 1)
+    up_conf: Optional[Array]  # (B, N) or None
+    lat_conf: Optional[Array]  # (B, N) or None
+
+
+def flatten_observations(data: Dict[str, Array], cfg: LMConfig) -> Tuple[Observations, int, int]:
+    """Build Observations from channel-last (B, h, w, C) field dicts."""
+    ref = data["up_field"] if "up_field" in data else data["latitude_field"]
+    B, h, w = ref.shape[0], ref.shape[1], ref.shape[2]
+    N = h * w
+
+    up = lat_sin = up_conf = lat_conf = None
+    if cfg.use_up and "up_field" in data:
+        up = data["up_field"].reshape(B, N, 2)
+        if "up_confidence" in data:
+            up_conf = data["up_confidence"].reshape(B, N)
+    if cfg.use_latitude and "latitude_field" in data:
+        lat_sin = jnp.sin(data["latitude_field"].reshape(B, N, 1))
+        if "latitude_confidence" in data:
+            lat_conf = data["latitude_confidence"].reshape(B, N)
+    assert up is not None or lat_sin is not None, "No observations provided"
+    return Observations(up, lat_sin, up_conf, lat_conf), h, w
+
+
+def get_trivial_estimation(
+    data: Dict[str, Array], cfg: LMConfig
+) -> Tuple[Camera, Gravity]:
+    """Initial estimate: roll = pitch = 0, f = 0.7·max(h, w); priors override.
+
+    Parity: geocalib/lm_optimizer.py:20-58.
+    """
+    ref = data["up_field"] if "up_field" in data else data["latitude_field"]
+    B, h, w = ref.shape[0], ref.shape[1], ref.shape[2]
+
+    batch_h = jnp.full((B,), float(h), jnp.float32)
+    batch_w = jnp.full((B,), float(w), jnp.float32)
+
+    focal = data.get("prior_focal", jnp.full((B,), 0.7 * float(max(h, w)), jnp.float32))
+    vfov = focal2fov(jnp.asarray(focal, jnp.float32), batch_h)
+
+    params = {"width": batch_w, "height": batch_h, "vfov": vfov}
+    if "scales" in data:
+        params["scales"] = data["scales"]
+    if "prior_dist" in data:
+        params["dist"] = jnp.asarray(data["prior_dist"], jnp.float32)
+    camera = Camera.from_dict(params, model=cfg.camera_model)
+
+    if "prior_gravity" in data:
+        pg = data["prior_gravity"]
+        gravity = pg if isinstance(pg, Gravity) else Gravity.from_vec3d(jnp.asarray(pg))
+    else:
+        gravity = Gravity.from_rp(jnp.zeros((B,)), jnp.zeros((B,)))
+    return camera, gravity
+
+
+def resolve_priors(data: Dict[str, Array], cfg: LMConfig) -> LMConfig:
+    """Flip estimate_* flags off for any provided prior (statically).
+
+    Parity: setup_optimization_and_priors (lm_optimizer.py:189-246).
+    """
+    return dataclasses.replace(
+        cfg,
+        estimate_gravity=cfg.estimate_gravity and "prior_gravity" not in data,
+        estimate_focal=cfg.estimate_focal and "prior_focal" not in data,
+        estimate_dist=cfg.estimate_dist and "prior_dist" not in data,
+    )
+
+
+# ---------------------------------------------------------------------- #
+# residuals / costs / normal equations
+# ---------------------------------------------------------------------- #
+
+
+def _residuals(
+    camera: Camera, gravity: Gravity, obs: Observations, h: int, w: int
+) -> Tuple[Optional[Array], Optional[Array]]:
+    """(target - prediction) residuals; latitude in sin-space."""
+    r_up = r_lat = None
+    if obs.up is not None:
+        pred_up = get_up_field_flat(camera, gravity, h, w)
+        r_up = obs.up - pred_up
+    if obs.lat_sin is not None:
+        pred_lat = jnp.sin(get_latitude_field_flat(camera, gravity, h, w))
+        r_lat = obs.lat_sin - pred_lat
+    return r_up, r_lat
+
+
+def _costs_and_weights(
+    r_up: Optional[Array], r_lat: Optional[Array], obs: Observations, cfg: LMConfig
+) -> Tuple[Array, Optional[Array], Optional[Array]]:
+    """Robust per-pixel costs and IRLS weights; returns (total_cost(B,), w_up, w_lat)."""
+    loss_fn = get_loss_fn(cfg.loss_fn)
+    total = 0.0
+    w_up = w_lat = None
+    if r_up is not None:
+        up_sq = jnp.sum(r_up**2, axis=-1)  # (B, N)
+        cost, w_up, _ = scaled_loss(up_sq, loss_fn, cfg.up_loss_fn_scale)
+        if obs.up_conf is not None:
+            cost = cost * obs.up_conf
+            w_up = w_up * obs.up_conf
+        total = total + cost.mean(-1)
+    if r_lat is not None:
+        lat_sq = jnp.sum(r_lat**2, axis=-1)
+        cost, w_lat, _ = scaled_loss(lat_sq, loss_fn, cfg.lat_loss_fn_scale)
+        if obs.lat_conf is not None:
+            cost = cost * obs.lat_conf
+            w_lat = w_lat * obs.lat_conf
+        total = total + cost.mean(-1)
+    return total, w_up, w_lat
+
+
+def _cost_only(
+    camera: Camera, gravity: Gravity, obs: Observations, h: int, w: int, cfg: LMConfig
+) -> Array:
+    r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+    total, _, _ = _costs_and_weights(r_up, r_lat, obs, cfg)
+    return total
+
+
+def _grad_hess(J: Array, r: Array, wts: Optional[Array]) -> Tuple[Array, Array]:
+    """G = Σ_N w Jᵀ r, H = Σ_N w Jᵀ J for J (B, N, C, P), r (B, N, C)."""
+    if wts is None:
+        wts = jnp.ones(J.shape[:2], J.dtype)
+    Jw = J * wts[..., None, None]
+    G = jnp.einsum("bnck,bnc->bk", Jw, r)
+    H = jnp.einsum("bnck,bncl->bkl", Jw, J)
+    return G, H
+
+
+def build_system(
+    camera: Camera,
+    gravity: Gravity,
+    r_up: Optional[Array],
+    r_lat: Optional[Array],
+    w_up: Optional[Array],
+    w_lat: Optional[Array],
+    h: int,
+    w: int,
+    cfg: LMConfig,
+    as_rpf: bool = False,
+) -> Tuple[Array, Array]:
+    """Masked normal equations G (B, P), H (B, P, P).
+
+    as_rpf switches to the (roll, pitch, focal) parameterization used for
+    uncertainty propagation (reference setup_system as_rpf,
+    lm_optimizer.py:410-416).
+    """
+    spherical = cfg.use_spherical_manifold and not as_rpf
+    log_focal = cfg.use_log_focal and not as_rpf
+    J_up, J_lat = J_perspective_field(camera, gravity, h, w, spherical, log_focal)
+
+    mask = jnp.asarray(cfg.param_mask, jnp.float32)
+    P = cfg.num_params
+    B = J_up.shape[0] if r_up is not None else J_lat.shape[0]
+    G = jnp.zeros((B, P), jnp.float32)
+    H = jnp.zeros((B, P, P), jnp.float32)
+    if r_up is not None:
+        g, hh = _grad_hess(J_up * mask, r_up, w_up)
+        G, H = G + g, H + hh
+    if r_lat is not None:
+        g, hh = _grad_hess(J_lat * mask, r_lat, w_lat)
+        G, H = G + g, H + hh
+    return G, H
+
+
+# ---------------------------------------------------------------------- #
+# the LM loop
+# ---------------------------------------------------------------------- #
+
+
+def _update_estimate(
+    camera: Camera, gravity: Gravity, delta: Array, cfg: LMConfig
+) -> Tuple[Camera, Gravity]:
+    """Apply the solved delta on the parameter manifolds (lm_optimizer.py:518-549)."""
+    if cfg.estimate_gravity:
+        gravity = gravity.update(delta[..., :2], spherical=cfg.use_spherical_manifold)
+    if cfg.estimate_focal:
+        camera = camera.update_focal(delta[..., 2:3], as_log=cfg.use_log_focal)
+    if cfg.opt_dist:
+        camera = camera.update_dist(delta[..., 3 : 3 + cfg.num_dist])
+    return camera, gravity
+
+
+def _tree_select(mask_b: Array, if_true, if_false):
+    """Per-lane select over pytrees whose leaves lead with the batch dim."""
+
+    def sel(a, b):
+        m = mask_b.reshape(mask_b.shape + (1,) * (a.ndim - mask_b.ndim))
+        return jnp.where(m, a, b)
+
+    return jax.tree.map(sel, if_true, if_false)
+
+
+def _solve_damped(G: Array, H: Array, lamb: Array, cfg: LMConfig) -> Array:
+    """Damped normal-equation solve; dispatches to the arrow solve when shared."""
+    if not cfg.shared_intrinsics:
+        return linalg.cholesky_solve_small(linalg.damp_hessian(H, lamb), G)
+
+    # shared intrinsics: damp per-block, then Schur solve. λ is a scalar lane.
+    Hd = linalg.damp_hessian(H, jnp.broadcast_to(lamb, H.shape[:1]))
+    D = Hd[:, :2, :2]
+    U = Hd[:, :2, 2:]
+    S = Hd[:, 2:, 2:].sum(0)
+    # off-diagonal damping artifacts: damp_hessian only touches the diagonal,
+    # but S must be damped on the *summed* diagonal like the reference's dense
+    # assembly (lm_optimizer.py:361-383). Rebuild S from the undamped blocks.
+    S_raw = H[:, 2:, 2:].sum(0)
+    diag = jnp.diagonal(S_raw, axis1=-2, axis2=-1)
+    S = S_raw + jnp.maximum(diag * lamb, 1e-6)[..., None] * jnp.eye(
+        S_raw.shape[-1], dtype=S_raw.dtype
+    )
+    g_g = G[:, :2]
+    g_i = G[:, 2:].sum(0)
+    x_g, x_i = linalg.solve_arrow(D, U, S, g_g, g_i)
+    return jnp.concatenate([x_g, jnp.broadcast_to(x_i, (G.shape[0],) + x_i.shape)], -1)
+
+
+def _update_lambda(lamb: Array, prev_cost: Array, new_cost: Array) -> Array:
+    """×10 on cost increase, ×0.1 on decrease, clamped (lm_optimizer.py:95-106)."""
+    factor = jnp.where(new_cost > prev_cost, 10.0, 0.1)
+    return jnp.clip(lamb * factor, 1e-6, 1e2)
+
+
+class LMResult(NamedTuple):
+    camera: Camera
+    gravity: Gravity
+    info: Dict[str, Array]
+
+
+def run_lm(data: Dict[str, Array], cfg: LMConfig) -> LMResult:
+    """Run the full LM calibration on channel-last field observations.
+
+    Args:
+        data: dict with "up_field" (B, h, w, 2), "latitude_field" (B, h, w, 1),
+            optional "up_confidence"/"latitude_confidence" (B, h, w[, 1]),
+            optional priors "prior_gravity"/"prior_focal"/"prior_dist",
+            optional "scales".
+        cfg: static LMConfig. Priors in `data` statically disable the
+            corresponding parameters (resolve_priors).
+
+    Returns:
+        LMResult with optimized camera/gravity and info dict (costs, stop
+        iteration, uncertainties).
+    """
+    cfg = resolve_priors(data, cfg)
+    obs, h, w = flatten_observations(data, cfg)
+    camera0, gravity0 = get_trivial_estimation(data, cfg)
+    camera, gravity, info = optimize(obs, camera0, gravity0, h, w, cfg)
+    info["initial_vfov"] = camera0.vfov
+    return LMResult(camera, gravity, info)
+
+
+def optimize(
+    obs: Observations,
+    camera0: Camera,
+    gravity0: Gravity,
+    h: int,
+    w: int,
+    cfg: LMConfig,
+) -> Tuple[Camera, Gravity, Dict[str, Array]]:
+    """Fixed-length scan over LM iterations with per-lane freezing."""
+    B = camera0.batch_shape[0]
+    lamb0 = jnp.full((1,) if cfg.shared_intrinsics else (B,), cfg.lambda_, jnp.float32)
+
+    initial_cost = _cost_only(camera0, gravity0, obs, h, w, cfg)
+    prev0 = initial_cost.mean(keepdims=True) if cfg.shared_intrinsics else initial_cost
+    converged0 = jnp.zeros_like(prev0, dtype=bool)
+    stop_at0 = jnp.full_like(prev0, float(cfg.num_steps))
+
+    def body(state, it):
+        camera, gravity, lamb, prev_cost, converged, stop_at = state
+
+        r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+        _, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+        G, H = build_system(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
+        delta = _solve_damped(G, H, lamb, cfg)
+
+        freeze = converged if cfg.early_stop else jnp.zeros_like(converged)
+        lane_freeze = jnp.broadcast_to(freeze[..., None], delta.shape) if not cfg.shared_intrinsics else freeze
+        delta = jnp.where(lane_freeze, 0.0, delta)
+
+        new_camera, new_gravity = _update_estimate(camera, gravity, delta, cfg)
+        if cfg.early_stop and not cfg.shared_intrinsics:
+            new_camera = _tree_select(converged, camera, new_camera)
+            new_gravity = _tree_select(converged, gravity, new_gravity)
+
+        new_cost_lane = _cost_only(new_camera, new_gravity, obs, h, w, cfg)
+        new_cost = (
+            new_cost_lane.mean(keepdims=True) if cfg.shared_intrinsics else new_cost_lane
+        )
+
+        if not cfg.fix_lambda and not cfg.shared_intrinsics:
+            lamb = jnp.where(converged, lamb, _update_lambda(lamb, prev_cost, new_cost))
+
+        conv_now = jnp.abs(new_cost - prev_cost) <= cfg.atol + cfg.rtol * jnp.abs(prev_cost)
+        stop_at = jnp.where(~converged & conv_now, it + 1.0, stop_at)
+        converged = converged | conv_now
+
+        prev_cost = jnp.where(converged & cfg.early_stop, prev_cost, new_cost)
+        return (new_camera, new_gravity, lamb, prev_cost, converged, stop_at), None
+
+    state0 = (camera0, gravity0, lamb0, prev0, converged0, stop_at0)
+    (camera, gravity, lamb, final_prev, converged, stop_at), _ = jax.lax.scan(
+        body, state0, jnp.arange(cfg.num_steps, dtype=jnp.float32)
+    )
+
+    # final costs + uncertainty at the optimum
+    r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+    final_cost, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+
+    info: Dict[str, Array] = {
+        "initial_cost": initial_cost,
+        "final_cost": final_cost,
+        "stop_at": jnp.broadcast_to(stop_at, (B,)) if cfg.shared_intrinsics else stop_at,
+    }
+    if cfg.with_uncertainty:
+        info.update(
+            estimate_uncertainty(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
+        )
+    return camera, gravity, info
+
+
+def estimate_uncertainty(
+    camera: Camera,
+    gravity: Gravity,
+    r_up: Optional[Array],
+    r_lat: Optional[Array],
+    w_up: Optional[Array],
+    w_lat: Optional[Array],
+    h: int,
+    w: int,
+    cfg: LMConfig,
+) -> Dict[str, Array]:
+    """Covariance from the inverse Hessian in (roll, pitch, focal, dist) space.
+
+    Parity: lm_optimizer.py:463-516, with the 2x2 gravity eigen-problem in
+    closed form on-device instead of CPU eigvalsh.
+    """
+    _, H = build_system(
+        camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg, as_rpf=True
+    )
+    # masked (fixed) parameters: unit diagonal keeps H invertible; their
+    # uncertainty outputs are zeroed below via the static flags.
+    mask = jnp.asarray(cfg.param_mask, jnp.float32)
+    H = H + jnp.diag(1.0 - mask)
+    Cov = linalg.inv_small(H)
+
+    B = H.shape[0]
+    zeros = jnp.zeros((B,), jnp.float32)
+
+    if cfg.estimate_gravity:
+        roll_u = Cov[..., 0, 0]
+        pitch_u = Cov[..., 1, 1]
+        gravity_u = linalg.max_eig_2x2(Cov[..., :2, :2])
+    else:
+        roll_u = pitch_u = gravity_u = zeros
+
+    if cfg.estimate_focal:
+        focal_u = Cov[..., 2, 2]
+        fov_u = J_focal2fov(camera.f[..., 1], camera.size[..., 1]) ** 2 * focal_u
+    else:
+        focal_u = fov_u = zeros
+
+    return {
+        "covariance": Cov,
+        "roll_uncertainty": jnp.sqrt(jnp.maximum(roll_u, 0.0)),
+        "pitch_uncertainty": jnp.sqrt(jnp.maximum(pitch_u, 0.0)),
+        "gravity_uncertainty": jnp.sqrt(jnp.maximum(gravity_u, 0.0)),
+        "focal_uncertainty": jnp.sqrt(jnp.maximum(focal_u, 0.0)) / 2.0,
+        "vfov_uncertainty": jnp.sqrt(jnp.maximum(fov_u, 0.0) / 2.0),
+    }
