@@ -307,36 +307,58 @@ class Camera:
     def J_distort(self, p2d: jnp.ndarray, wrt: str = "scale2pts") -> jnp.ndarray:
         """Jacobians of the distortion scale.
 
-        wrt="scale2pts": ds/duv, shape (..., N, 2).
+        wrt="scale2pts": ds/duv = φ·uv, shape (..., N, 2).
         wrt="scale2dist": ds/dk (active params), shape (..., N, num_k).
         """
         spec = _spec(self.model)
+        r2 = _r2(p2d)
         if wrt == "scale2pts":
-            return spec.offset(self._k1(), self._k2(), p2d, _r2(p2d))
+            return spec.phi(self._k1(), self._k2(), r2) * p2d
         if wrt == "scale2dist":
-            return spec.J_scale_k(self._k1(), self._k2(), p2d, _r2(p2d))
+            cols = spec.ds_dk(self._k1(), self._k2(), r2)
+            if not cols:
+                return jnp.zeros(p2d.shape[:-1] + (0,), p2d.dtype)
+            return jnp.concatenate(cols, axis=-1)
         raise ValueError(f"Unknown wrt: {wrt}")
 
     def J_undistort(self, p2d: jnp.ndarray, wrt: str = "pts") -> jnp.ndarray:
         """Jacobian of undistort wrt 'pts' (..., N, 2, 2) or 'dist' (..., N, 2, num_k)."""
         spec = _spec(self.model)
+        r2 = _r2(p2d)
         if wrt == "pts":
-            return spec.J_undistort_pts(self._k1(), self._k2(), p2d, _r2(p2d))
+            su = spec.undistort_scale(self._k1(), self._k2(), r2)
+            dsu = spec.dsu_dr2(self._k1(), self._k2(), r2)
+            return (
+                su[..., None] * jnp.eye(2, dtype=p2d.dtype)
+                + 2.0 * dsu[..., None] * _outer(p2d, p2d)
+            )
         if wrt == "dist":
-            return spec.J_undistort_k(self._k1(), self._k2(), p2d, _r2(p2d))
+            cols = spec.dsu_dk(self._k1(), self._k2(), r2)
+            if not cols:
+                return jnp.zeros(p2d.shape[:-1] + (2, 0), p2d.dtype)
+            return jnp.stack([g * p2d for g in cols], axis=-1)
         raise ValueError(f"Unknown wrt: {wrt}")
 
     def up_projection_offset(self, p2d: jnp.ndarray) -> jnp.ndarray:
-        """o(uv) = ds/duv, the distortion offset for the up field; (..., N, 2)."""
+        """o(uv) = ds/duv = φ(r²)·uv, the up-field distortion offset; (..., N, 2)."""
         return self.J_distort(p2d, wrt="scale2pts")
 
     def J_up_projection_offset(self, p2d: jnp.ndarray, wrt: str = "uv") -> jnp.ndarray:
         """Jacobian of o(uv) wrt 'uv' (..., N, 2, 2) or 'dist' (..., N, 2, num_k)."""
         spec = _spec(self.model)
+        r2 = _r2(p2d)
         if wrt == "uv":
-            return spec.J_offset_uv(self._k1(), self._k2(), p2d, _r2(p2d))
+            phi = spec.phi(self._k1(), self._k2(), r2)
+            dphi = spec.dphi_dr2(self._k1(), self._k2(), r2)
+            return (
+                phi[..., None] * jnp.eye(2, dtype=p2d.dtype)
+                + 2.0 * dphi[..., None] * _outer(p2d, p2d)
+            )
         if wrt == "dist":
-            return spec.J_offset_k(self._k1(), self._k2(), p2d, _r2(p2d))
+            cols = spec.dphi_dk(self._k1(), self._k2(), r2)
+            if not cols:
+                return jnp.zeros(p2d.shape[:-1] + (2, 0), p2d.dtype)
+            return jnp.stack([g * p2d for g in cols], axis=-1)
         raise ValueError(f"Unknown wrt: {wrt}")
 
     # ------------------------------------------------------------------ #
@@ -395,6 +417,20 @@ def _outer(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...i,...j->...ij", a, b)
 
 
+# Every supported model is *radial*: distortion and its derivatives are fully
+# characterized by scalar functions of r². Each spec provides:
+#   scale(r2) = s, undistort_scale(r2) = su,
+#   phi(r2) with offset = ds/duv = φ·uv (φ = 2·ds/dr²),
+#   dphi_dr2, dphi_dk[i], ds_dk[i], dsu_dr2, dsu_dk[i].
+# The generic vector forms follow (implemented once in Camera):
+#   J_offset_uv     = φ I + 2 φ' uv uvᵀ
+#   J_offset_k[i]   = (dφ/dk_i) uv
+#   J_undistort_pts = su I + 2 su' uv uvᵀ
+#   J_undistort_k[i] = (dsu/dk_i) uv
+# This scalar characterization is what makes the TPU-planar hot path possible
+# (geometry/planar_fields.py): all per-pixel quantities become (B, N) lanes.
+
+
 class _Pinhole:
     num_k = 0
 
@@ -407,32 +443,35 @@ class _Pinhole:
         return jnp.ones_like(r2)
 
     @staticmethod
-    def offset(k1, k2, uv, r2):
-        return jnp.zeros_like(uv)
+    def phi(k1, k2, r2):
+        return jnp.zeros_like(r2)
 
     @staticmethod
-    def J_scale_k(k1, k2, uv, r2):
-        return jnp.zeros(uv.shape[:-1] + (0,), uv.dtype)
+    def dphi_dr2(k1, k2, r2):
+        return jnp.zeros_like(r2)
 
     @staticmethod
-    def J_undistort_pts(k1, k2, uv, r2):
-        return jnp.broadcast_to(jnp.eye(2, dtype=uv.dtype), uv.shape[:-1] + (2, 2))
+    def dphi_dk(k1, k2, r2):
+        return ()
 
     @staticmethod
-    def J_undistort_k(k1, k2, uv, r2):
-        return jnp.zeros(uv.shape[:-1] + (2, 0), uv.dtype)
+    def ds_dk(k1, k2, r2):
+        return ()
 
     @staticmethod
-    def J_offset_uv(k1, k2, uv, r2):
-        return jnp.zeros(uv.shape[:-1] + (2, 2), uv.dtype)
+    def dsu_dr2(k1, k2, r2):
+        return jnp.zeros_like(r2)
 
     @staticmethod
-    def J_offset_k(k1, k2, uv, r2):
-        return jnp.zeros(uv.shape[:-1] + (2, 0), uv.dtype)
+    def dsu_dk(k1, k2, r2):
+        return ()
 
 
 class _SimpleRadial:
-    """s = 1 + k1 r²; inverse ≈ 1 - k1 r² (Drap & Lefèvre exact-series order 1)."""
+    """s = 1 + k1 r²; inverse ≈ 1 - k1 r² (Drap & Lefèvre exact-series order 1).
+
+    Parity: /root/reference/geocalib/camera.py:565-663.
+    """
 
     num_k = 1
 
@@ -445,156 +484,133 @@ class _SimpleRadial:
         return 1.0 - k1 * r2
 
     @staticmethod
-    def offset(k1, k2, uv, r2):
-        return 2.0 * k1 * uv
+    def phi(k1, k2, r2):
+        return jnp.broadcast_to(2.0 * k1, r2.shape)
 
     @staticmethod
-    def J_scale_k(k1, k2, uv, r2):
-        return r2  # (..., N, 1)
+    def dphi_dr2(k1, k2, r2):
+        return jnp.zeros_like(r2)
 
     @staticmethod
-    def J_undistort_pts(k1, k2, uv, r2):
-        b1 = -k1
-        radial = 1.0 + b1 * r2
-        return 2.0 * b1[..., None] * _outer(uv, uv) + _diag_embed(
-            jnp.broadcast_to(radial, uv.shape))
+    def dphi_dk(k1, k2, r2):
+        return (jnp.full_like(r2, 2.0),)
 
     @staticmethod
-    def J_undistort_k(k1, k2, uv, r2):
-        return (-r2 * uv)[..., None]
+    def ds_dk(k1, k2, r2):
+        return (r2,)
 
     @staticmethod
-    def J_offset_uv(k1, k2, uv, r2):
-        return _diag_embed(jnp.broadcast_to(2.0 * k1, uv.shape))
+    def dsu_dr2(k1, k2, r2):
+        return jnp.broadcast_to(-k1, r2.shape)
 
     @staticmethod
-    def J_offset_k(k1, k2, uv, r2):
-        return (2.0 * uv)[..., None]
+    def dsu_dk(k1, k2, r2):
+        return (-r2,)
 
 
 class _Radial:
-    """s = 1 + k1 r² + k2 r⁴; inverse ≈ 1 - k1 r² + (3k1² - k2) r⁴ (Drap order 2)."""
+    """s = 1 + k1 r² + k2 r⁴; inverse ≈ 1 - k1 r² + (3k1² - k2) r⁴ (Drap order 2).
+
+    Parity: /root/reference/geocalib/camera.py:663-789.
+    """
 
     num_k = 2
 
     @staticmethod
     def scale(k1, k2, r2):
-        return 1.0 + k1 * r2 + k2 * r2**2
+        return 1.0 + r2 * (k1 + k2 * r2)
 
     @staticmethod
     def undistort_scale(k1, k2, r2):
-        b1, b2 = -k1, 3.0 * k1**2 - k2
-        return 1.0 + b1 * r2 + b2 * r2**2
+        return 1.0 + r2 * (-k1 + (3.0 * k1**2 - k2) * r2)
 
     @staticmethod
-    def offset(k1, k2, uv, r2):
-        return (2.0 * k1 + 4.0 * k2 * r2) * uv
+    def phi(k1, k2, r2):
+        return 2.0 * k1 + 4.0 * k2 * r2
 
     @staticmethod
-    def J_scale_k(k1, k2, uv, r2):
-        return jnp.concatenate([r2, r2**2], axis=-1)
+    def dphi_dr2(k1, k2, r2):
+        return jnp.broadcast_to(4.0 * k2, r2.shape)
 
     @staticmethod
-    def J_undistort_pts(k1, k2, uv, r2):
-        b1, b2 = -k1, 3.0 * k1**2 - k2
-        J = (4.0 * r2 * b2 + 2.0 * b1)[..., None] * _outer(uv, uv)
-        radial = 1.0 + b1 * r2 + b2 * r2**2
-        return J + radial[..., None] * jnp.eye(2, dtype=uv.dtype)
+    def dphi_dk(k1, k2, r2):
+        return (jnp.full_like(r2, 2.0), 4.0 * r2)
 
     @staticmethod
-    def J_undistort_k(k1, k2, uv, r2):
-        r4 = r2**2
-        J_k1 = (6.0 * r4 * k1 - r2) * uv
-        J_k2 = -r4 * uv
-        return jnp.stack([J_k1, J_k2], axis=-1)
+    def ds_dk(k1, k2, r2):
+        return (r2, r2**2)
 
     @staticmethod
-    def J_offset_uv(k1, k2, uv, r2):
-        return 8.0 * k2[..., None] * _outer(uv, uv) + (
-            (2.0 * k1 + 4.0 * k2 * r2)[..., None] * jnp.eye(2, dtype=uv.dtype))
+    def dsu_dr2(k1, k2, r2):
+        return -k1 + 2.0 * (3.0 * k1**2 - k2) * r2
 
     @staticmethod
-    def J_offset_k(k1, k2, uv, r2):
-        return jnp.stack([2.0 * uv, 4.0 * r2 * uv], axis=-1)
-
-
-def _sd_scale_scalar(k1r2):
-    """Simple-divisional scale as a function of t = k1·r², smooth at t=0.
-
-    s(t) = (1 - sqrt(1 - 4t)) / (2t), with s(0) = 1. We use the algebraically
-    equivalent form s = 2 / (1 + sqrt(1 - 4t)) which is finite and smooth at
-    t = 0, so a single expression serves both value and derivative — unlike
-    the reference's masked-division form (camera.py:829-941) whose uv-Jacobian
-    is documented as unstable.
-    """
-    t = jnp.clip(1.0 - 4.0 * k1r2, 1e-6, None)
-    return 2.0 / (1.0 + jnp.sqrt(t))
+    def dsu_dk(k1, k2, r2):
+        return (6.0 * k1 * r2**2 - r2, -(r2**2))
 
 
 class _SimpleDivisional:
-    """Fitzgibbon division model: s = (1-√(1-4 k1 r²))/(2 k1 r²); inverse 1/(1+k1 r²)."""
+    """Fitzgibbon division model: s = (1-√(1-4 k1 r²))/(2 k1 r²); inverse 1/(1+k1 r²).
+
+    Parity: /root/reference/geocalib/camera.py:789-944. Written via the
+    smooth equivalent σ(t) = 2/(1+√(1-4t)) (t = k1 r²), which is finite at
+    t = 0 — the reference's masked-division form has a uv-Jacobian documented
+    as unstable (camera.py:888-942); the closed-form σ', σ'' here are exact.
+    σ is the Catalan generating function: σ(0)=1, σ'(0)=1, σ''(0)=4.
+    """
 
     num_k = 1
 
     @staticmethod
-    def scale(k1, k2, r2):
-        return _sd_scale_scalar(k1 * r2)
+    def _q(k1, r2):
+        return jnp.sqrt(jnp.clip(1.0 - 4.0 * k1 * r2, 1e-6, None))
+
+    @classmethod
+    def scale(cls, k1, k2, r2):
+        return 2.0 / (1.0 + cls._q(k1, r2))
 
     @staticmethod
     def undistort_scale(k1, k2, r2):
         denom = 1.0 + k1 * r2
         return 1.0 / jnp.where(denom == 0, 1e6, denom)
 
-    # exact elementwise derivatives of the smooth closed form via jvp —
-    # compiled to pure arithmetic, numerically stable near k1·r² = 0.
-
-    @staticmethod
-    def _ds_dt(t):
-        """d s / d t where s = 2/(1+sqrt(1-4t))."""
-        _, tangent = jax.jvp(_sd_scale_scalar, (t,), (jnp.ones_like(t),))
-        return tangent
+    @classmethod
+    def _sigma1(cls, k1, r2):
+        """σ'(t) = 4 / (q (1+q)²)."""
+        q = cls._q(k1, r2)
+        return 4.0 / (q * (1.0 + q) ** 2)
 
     @classmethod
-    def offset(cls, k1, k2, uv, r2):
-        # ds/duv = ds/dt · k1 · dr2/duv = ds/dt · k1 · 2 uv
-        return 2.0 * k1 * cls._ds_dt(k1 * r2) * uv
+    def _sigma2(cls, k1, r2):
+        """σ''(t) = 8 (1/(q³(1+q)²) + 2/(q²(1+q)³))."""
+        q = cls._q(k1, r2)
+        return 8.0 * (1.0 / (q**3 * (1.0 + q) ** 2) + 2.0 / (q**2 * (1.0 + q) ** 3))
 
     @classmethod
-    def J_scale_k(cls, k1, k2, uv, r2):
-        # ds/dk1 = ds/dt · r2
-        return cls._ds_dt(k1 * r2) * r2
+    def phi(cls, k1, k2, r2):
+        return 2.0 * k1 * cls._sigma1(k1, r2)
+
+    @classmethod
+    def dphi_dr2(cls, k1, k2, r2):
+        return 2.0 * k1**2 * cls._sigma2(k1, r2)
+
+    @classmethod
+    def dphi_dk(cls, k1, k2, r2):
+        return (2.0 * cls._sigma1(k1, r2) + 2.0 * k1 * r2 * cls._sigma2(k1, r2),)
+
+    @classmethod
+    def ds_dk(cls, k1, k2, r2):
+        return (cls._sigma1(k1, r2) * r2,)
 
     @staticmethod
-    def J_undistort_pts(k1, k2, uv, r2):
-        t0 = 1.0 + k1 * r2
-        t0 = jnp.where(t0 == 0, 1e6, t0)
-        J = _diag_embed(jnp.broadcast_to(1.0 / t0, uv.shape))
-        return J - 2.0 * k1[..., None] * _outer(uv, uv) / t0[..., None] ** 2
-
-    @staticmethod
-    def J_undistort_k(k1, k2, uv, r2):
+    def dsu_dr2(k1, k2, r2):
         denom = (1.0 + k1 * r2) ** 2
-        denom = jnp.where(denom == 0, 1e6, denom)
-        return (-r2 / denom * uv)[..., None]
+        return -k1 / jnp.where(denom == 0, 1e6, denom)
 
-    @classmethod
-    def J_offset_uv(cls, k1, k2, uv, r2):
-        # o(uv) = φ(r2) uv with φ = 2 k1 ds/dt; do/duv = φ I + dφ/dr2 · 2 uv uvᵀ
-        def phi_of_r2(r2_):
-            return 2.0 * k1 * cls._ds_dt(k1 * r2_)
-
-        phi, dphi = jax.jvp(phi_of_r2, (r2,), (jnp.ones_like(r2),))
-        eye = jnp.eye(2, dtype=uv.dtype)
-        return phi[..., None] * eye + 2.0 * dphi[..., None] * _outer(uv, uv)
-
-    @classmethod
-    def J_offset_k(cls, k1, k2, uv, r2):
-        # do/dk1 = d(2 k1 ds/dt)/dk1 · uv = (2 ds/dt + 2 k1 r2 d²s/dt²) uv
-        def o_of_k1(k1_):
-            return 2.0 * k1_ * cls._ds_dt(k1_ * r2)
-
-        _, dk = jax.jvp(o_of_k1, (k1,), (jnp.ones_like(k1),))
-        return (dk * uv)[..., None]
+    @staticmethod
+    def dsu_dk(k1, k2, r2):
+        denom = (1.0 + k1 * r2) ** 2
+        return (-r2 / jnp.where(denom == 0, 1e6, denom),)
 
 
 _DIST_SPECS = {

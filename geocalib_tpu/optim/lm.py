@@ -33,14 +33,10 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from geocalib_tpu.geometry import planar_fields as pf
 from geocalib_tpu.geometry.camera import NUM_DIST_PARAMS, Camera
 from geocalib_tpu.geometry.gravity import Gravity
 from geocalib_tpu.geometry.jacobians import J_focal2fov
-from geocalib_tpu.geometry.perspective_fields import (
-    J_perspective_field,
-    get_latitude_field_flat,
-    get_up_field_flat,
-)
 from geocalib_tpu.optim import linalg
 from geocalib_tpu.optim.losses import get_loss_fn, scaled_loss
 from geocalib_tpu.utils.conversions import focal2fov
@@ -106,36 +102,37 @@ class LMConfig:
 
 
 class Observations(NamedTuple):
-    """Flattened per-pixel observations driving the solver.
+    """Per-pixel observations as pixel-last planes (TPU lane layout).
 
-    All fields are flattened over the pixel grid (B, N, C) / (B, N); the
-    sin() of the latitude is precomputed once (residuals live in sin-space,
-    reference lm_optimizer.py:248-274).
+    Each plane is (B, N); the sin() of the latitude is precomputed once
+    (residuals live in sin-space, reference lm_optimizer.py:248-274).
     """
 
-    up: Optional[Array]  # (B, N, 2)
-    lat_sin: Optional[Array]  # (B, N, 1)
-    up_conf: Optional[Array]  # (B, N) or None
-    lat_conf: Optional[Array]  # (B, N) or None
+    up_x: Optional[Array]
+    up_y: Optional[Array]
+    lat_sin: Optional[Array]
+    up_conf: Optional[Array]
+    lat_conf: Optional[Array]
 
 
 def flatten_observations(data: Dict[str, Array], cfg: LMConfig) -> Tuple[Observations, int, int]:
-    """Build Observations from channel-last (B, h, w, C) field dicts."""
+    """Build planar Observations from channel-last (B, h, w, C) field dicts."""
     ref = data["up_field"] if "up_field" in data else data["latitude_field"]
     B, h, w = ref.shape[0], ref.shape[1], ref.shape[2]
     N = h * w
 
-    up = lat_sin = up_conf = lat_conf = None
+    up_x = up_y = lat_sin = up_conf = lat_conf = None
     if cfg.use_up and "up_field" in data:
         up = data["up_field"].reshape(B, N, 2)
+        up_x, up_y = up[..., 0], up[..., 1]
         if "up_confidence" in data:
             up_conf = data["up_confidence"].reshape(B, N)
     if cfg.use_latitude and "latitude_field" in data:
-        lat_sin = jnp.sin(data["latitude_field"].reshape(B, N, 1))
+        lat_sin = jnp.sin(data["latitude_field"].reshape(B, N))
         if "latitude_confidence" in data:
             lat_conf = data["latitude_confidence"].reshape(B, N)
-    assert up is not None or lat_sin is not None, "No observations provided"
-    return Observations(up, lat_sin, up_conf, lat_conf), h, w
+    assert up_x is not None or lat_sin is not None, "No observations provided"
+    return Observations(up_x, up_y, lat_sin, up_conf, lat_conf), h, w
 
 
 def get_trivial_estimation(
@@ -189,35 +186,37 @@ def resolve_priors(data: Dict[str, Array], cfg: LMConfig) -> LMConfig:
 
 def _residuals(
     camera: Camera, gravity: Gravity, obs: Observations, h: int, w: int
-) -> Tuple[Optional[Array], Optional[Array]]:
-    """(target - prediction) residuals; latitude in sin-space."""
+) -> Tuple[Optional[Tuple[Array, Array]], Optional[Array]]:
+    """(target - prediction) residual planes; latitude in sin-space."""
+    u, v = pf.make_grid(camera, h, w)
     r_up = r_lat = None
-    if obs.up is not None:
-        pred_up = get_up_field_flat(camera, gravity, h, w)
-        r_up = obs.up - pred_up
+    if obs.up_x is not None:
+        pred_x, pred_y = pf.up_planes(camera, gravity, u, v)
+        r_up = (obs.up_x - pred_x, obs.up_y - pred_y)
     if obs.lat_sin is not None:
-        pred_lat = jnp.sin(get_latitude_field_flat(camera, gravity, h, w))
-        r_lat = obs.lat_sin - pred_lat
+        r_lat = obs.lat_sin - pf.sinlat_planes(camera, gravity, u, v)
     return r_up, r_lat
 
 
 def _costs_and_weights(
-    r_up: Optional[Array], r_lat: Optional[Array], obs: Observations, cfg: LMConfig
+    r_up: Optional[Tuple[Array, Array]],
+    r_lat: Optional[Array],
+    obs: Observations,
+    cfg: LMConfig,
 ) -> Tuple[Array, Optional[Array], Optional[Array]]:
     """Robust per-pixel costs and IRLS weights; returns (total_cost(B,), w_up, w_lat)."""
     loss_fn = get_loss_fn(cfg.loss_fn)
     total = 0.0
     w_up = w_lat = None
     if r_up is not None:
-        up_sq = jnp.sum(r_up**2, axis=-1)  # (B, N)
+        up_sq = r_up[0] ** 2 + r_up[1] ** 2  # (B, N)
         cost, w_up, _ = scaled_loss(up_sq, loss_fn, cfg.up_loss_fn_scale)
         if obs.up_conf is not None:
             cost = cost * obs.up_conf
             w_up = w_up * obs.up_conf
         total = total + cost.mean(-1)
     if r_lat is not None:
-        lat_sq = jnp.sum(r_lat**2, axis=-1)
-        cost, w_lat, _ = scaled_loss(lat_sq, loss_fn, cfg.lat_loss_fn_scale)
+        cost, w_lat, _ = scaled_loss(r_lat**2, loss_fn, cfg.lat_loss_fn_scale)
         if obs.lat_conf is not None:
             cost = cost * obs.lat_conf
             w_lat = w_lat * obs.lat_conf
@@ -233,20 +232,25 @@ def _cost_only(
     return total
 
 
-def _grad_hess(J: Array, r: Array, wts: Optional[Array]) -> Tuple[Array, Array]:
-    """G = Σ_N w Jᵀ r, H = Σ_N w Jᵀ J for J (B, N, C, P), r (B, N, C)."""
-    if wts is None:
-        wts = jnp.ones(J.shape[:2], J.dtype)
-    Jw = J * wts[..., None, None]
-    G = jnp.einsum("bnck,bnc->bk", Jw, r)
-    H = jnp.einsum("bnck,bncl->bkl", Jw, J)
+def _accumulate(
+    J_cols, r: Array, wts: Optional[Array], mask: Array
+) -> Tuple[Array, Array]:
+    """G += Σ_N w J r, H += Σ_N w J Jᵀ for one channel of plane Jacobians.
+
+    J_cols: list of P planes (B, N); stacked to (B, P, N) so the gram
+    product contracts over the big N axis (lane dim) on the MXU.
+    """
+    Jmat = jnp.stack(J_cols, axis=1) * mask[:, None]  # (B, P, N)
+    Jw = Jmat if wts is None else Jmat * wts[:, None, :]
+    G = jnp.einsum("bpn,bn->bp", Jw, r)
+    H = jnp.einsum("bpn,bqn->bpq", Jw, Jmat)
     return G, H
 
 
 def build_system(
     camera: Camera,
     gravity: Gravity,
-    r_up: Optional[Array],
+    r_up: Optional[Tuple[Array, Array]],
     r_lat: Optional[Array],
     w_up: Optional[Array],
     w_lat: Optional[Array],
@@ -255,7 +259,7 @@ def build_system(
     cfg: LMConfig,
     as_rpf: bool = False,
 ) -> Tuple[Array, Array]:
-    """Masked normal equations G (B, P), H (B, P, P).
+    """Masked normal equations G (B, P), H (B, P, P) from plane Jacobians.
 
     as_rpf switches to the (roll, pitch, focal) parameterization used for
     uncertainty propagation (reference setup_system as_rpf,
@@ -263,18 +267,21 @@ def build_system(
     """
     spherical = cfg.use_spherical_manifold and not as_rpf
     log_focal = cfg.use_log_focal and not as_rpf
-    J_up, J_lat = J_perspective_field(camera, gravity, h, w, spherical, log_focal)
+    u, v = pf.make_grid(camera, h, w)
 
     mask = jnp.asarray(cfg.param_mask, jnp.float32)
     P = cfg.num_params
-    B = J_up.shape[0] if r_up is not None else J_lat.shape[0]
+    B = camera.batch_shape[0]
     G = jnp.zeros((B, P), jnp.float32)
     H = jnp.zeros((B, P, P), jnp.float32)
     if r_up is not None:
-        g, hh = _grad_hess(J_up * mask, r_up, w_up)
-        G, H = G + g, H + hh
+        J_up = pf.J_up_planes(camera, gravity, u, v, spherical, log_focal)
+        for c in range(2):
+            g, hh = _accumulate(J_up[c], r_up[c], w_up, mask)
+            G, H = G + g, H + hh
     if r_lat is not None:
-        g, hh = _grad_hess(J_lat * mask, r_lat, w_lat)
+        J_lat = pf.J_lat_planes(camera, gravity, u, v, spherical, log_focal)
+        g, hh = _accumulate(J_lat, r_lat, w_lat, mask)
         G, H = G + g, H + hh
     return G, H
 
