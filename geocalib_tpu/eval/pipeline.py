@@ -1,0 +1,116 @@
+"""Evaluation pipeline: predict → cache (h5) → metrics → summaries.
+
+Re-design of /root/reference/siclib/eval/eval_pipeline.py +
+simple_pipeline.py: batched jitted prediction (the reference runs batch 1
+on host loops), per-image metric arrays cached to results.h5, AUC@1/5/10
+summaries with min_error=1 (the headline benchmark protocol), summaries to
+summaries.json.
+"""
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geocalib_tpu.data.dataset import DatasetConf, SimpleDataset, batch_gt
+from geocalib_tpu.eval.metrics import camera_metrics, gravity_metrics
+from geocalib_tpu.models import GeoCalibNet
+from geocalib_tpu.optim.lm import LMConfig, run_lm
+from geocalib_tpu.utils.tools import summarize_results
+
+
+@dataclasses.dataclass
+class EvalConf:
+    camera_model: str = "pinhole"
+    batch_size: int = 8
+    thresholds: tuple = (1.0, 5.0, 10.0)
+    compute_dtype: str = "bfloat16"
+    variant: str = "b"
+
+
+class SimplePipeline:
+    """Evaluate a (net, params) pair on a SimpleDataset split."""
+
+    def __init__(self, params, conf: Optional[EvalConf] = None, net: Optional[GeoCalibNet] = None):
+        self.conf = conf or EvalConf()
+        self.net = net or GeoCalibNet(variant=self.conf.variant)
+        self.params = params
+        self._predict = None
+
+    def _make_predict(self):
+        cfg = LMConfig(camera_model=self.conf.camera_model)
+        dtype = jnp.dtype(self.conf.compute_dtype)
+
+        @jax.jit
+        def predict(params, image, gt_params):
+            p = jax.tree.map(lambda x: x.astype(dtype), params)
+            fields = self.net.apply(p, image.astype(dtype))
+            fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
+            res = run_lm(dict(fields), cfg)
+            cam_gt, grav_gt = batch_gt({"gt_params": gt_params}, self.conf.camera_model)
+            out = camera_metrics(res.camera, cam_gt)
+            out |= gravity_metrics(res.gravity, grav_gt)
+            out |= {k: v for k, v in res.info.items() if v.ndim <= 1}
+            return out
+
+        return predict
+
+    def run(
+        self,
+        dataset: SimpleDataset,
+        experiment_dir: Optional[str] = None,
+        max_batches: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Returns summary dict; writes results.h5 + summaries.json if a dir is given."""
+        if self._predict is None:
+            self._predict = self._make_predict()
+
+        results: Dict[str, list] = {}
+        for i, batch in enumerate(dataset.epoch(epoch=0)):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self._predict(
+                self.params, jnp.asarray(batch["image"]), jnp.asarray(batch["gt_params"])
+            )
+            for k, v in out.items():
+                results.setdefault(k, []).append(np.asarray(v))
+
+        results_np = {k: np.concatenate(v) for k, v in results.items()}
+        summaries = summarize_results(results_np, self.conf.thresholds)
+
+        if experiment_dir is not None:
+            exp = Path(experiment_dir)
+            exp.mkdir(parents=True, exist_ok=True)
+            import h5py
+
+            with h5py.File(exp / "results.h5", "w") as fh:
+                for k, v in results_np.items():
+                    fh.create_dataset(k, data=v)
+            (exp / "summaries.json").write_text(json.dumps(summaries, indent=2))
+        return summaries
+
+
+def evaluate_benchmark(
+    params,
+    dataset_dir: str,
+    split: str = "test",
+    camera_model: str = "pinhole",
+    experiment_dir: Optional[str] = None,
+    **conf_kw,
+) -> Dict[str, float]:
+    """Convenience entry: evaluate a params pytree on a generated benchmark."""
+    conf = EvalConf(camera_model=camera_model, **conf_kw)
+    ds = SimpleDataset(
+        DatasetConf(
+            dataset_dir=dataset_dir,
+            csv_name=f"{split}.csv",
+            batch_size=conf.batch_size,
+            shuffle=False,
+            camera_model=camera_model,
+        )
+    )
+    return SimplePipeline(params, conf).run(ds, experiment_dir)

@@ -36,15 +36,19 @@ class GeoCalib:
         self,
         weights: Optional[Union[str, Path]] = None,
         variant: str = "b",
+        compute_dtype: str = "bfloat16",
         **optimizer_options: Any,
     ):
+        """compute_dtype: CNN compute precision ("bfloat16" for the MXU fast
+        path, "float32" for exact parity). The LM solver always runs f32."""
         self.net = GeoCalibNet(variant=variant)
         self.preprocessor = ImagePreprocessor()
         self.optimizer_options = optimizer_options
+        self.compute_dtype = jnp.dtype(compute_dtype)
         if weights is not None:
             self.params = load_params(weights)
         else:
-            self.params = self.net.init(
+            self.params = jax.jit(self.net.init)(
                 {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 320, 320, 3))
             )
 
@@ -54,7 +58,9 @@ class GeoCalib:
 
         @jax.jit
         def forward(params, image, priors):
-            fields = self.net.apply(params, image)
+            p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
+            fields = self.net.apply(p, image.astype(self.compute_dtype))
+            fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
             data = dict(fields)
             for k in prior_keys:
                 data[k] = priors[k]
