@@ -1,0 +1,233 @@
+"""Training CLI: data-parallel training over all available chips.
+
+Re-design of /root/reference/siclib/train.py (750 lines of DDP spawn, AMP,
+host collectives) as one SPMD loop: the jitted shard_map step owns forward/
+backward/collectives; the host loop only feeds batches, logs, evaluates and
+checkpoints.
+
+Usage:
+    python -m geocalib_tpu.training.train my_exp \
+        --conf geocalib_tpu/configs/geocalib.yaml \
+        data.dataset_dir=data/openpano train.total_steps=150000
+
+Multi-host: launch the same command on every host with
+`jax.distributed` env vars set; `jax.process_index()==0` does the logging.
+"""
+
+import argparse
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geocalib_tpu.data.dataset import DatasetConf, SimpleDataset
+from geocalib_tpu.parallel.mesh import make_mesh, shard_batch
+from geocalib_tpu.training.checkpoint import ExperimentManager
+from geocalib_tpu.training.train_step import (
+    TrainConfig,
+    create_train_state,
+    loss_and_updates,
+    make_sharded_train_step,
+)
+from geocalib_tpu.utils.config import apply_dotlist, load_yaml, merge, save_yaml
+from geocalib_tpu.utils.summary_writer import SummaryWriter
+
+default_conf: Dict[str, Any] = {
+    "seed": 0,
+    "train": {
+        "lr": 1e-4,
+        "weight_decay": 1e-2,
+        "clip_grad": 1.0,
+        "warmup_steps": 4_000,
+        "decay_milestones": [80_000, 130_000],
+        "total_steps": 150_000,
+        "camera_model": "pinhole",
+        "lm_steps": 10,
+        "variant": "b",
+        "drop_path_rate": 0.1,
+        "log_every": 100,
+        "eval_every": 1000,
+        "save_every": 5000,
+        "best_key": "loss/param_total",
+        "input_size": 320,
+    },
+    "data": {
+        "dataset_dir": "",
+        "batch_size": 24,
+        "augmentation": "geocalib",
+        "camera_model": "pinhole",
+    },
+}
+
+
+def make_train_config(conf: Dict[str, Any]) -> TrainConfig:
+    t = conf["train"]
+    return TrainConfig(
+        lr=float(t["lr"]),
+        weight_decay=float(t["weight_decay"]),
+        clip_grad=float(t["clip_grad"]),
+        warmup_steps=int(t["warmup_steps"]),
+        decay_milestones=tuple(t["decay_milestones"]),
+        total_steps=int(t["total_steps"]),
+        camera_model=t["camera_model"],
+        lm_steps=int(t["lm_steps"]),
+        variant=t["variant"],
+        drop_path_rate=float(t["drop_path_rate"]),
+    )
+
+
+def make_eval_step(net, cfg: TrainConfig):
+    """Jitted validation: loss/metrics without parameter updates."""
+
+    @jax.jit
+    def eval_step(state, batch, rng):
+        _, (_, losses, metrics) = loss_and_updates(
+            net, cfg, state.params, state.batch_stats, batch, rng
+        )
+        out = {f"loss/{k}": v.mean() for k, v in losses.items()}
+        out |= {f"metric/{k}": v.mean() for k, v in metrics.items()}
+        return out
+
+    return eval_step
+
+
+def training(
+    conf: Dict[str, Any],
+    output_dir: str,
+    restore: bool = False,
+    max_steps: Optional[int] = None,
+) -> Dict[str, float]:
+    """Run the training loop; returns the last logged scalars."""
+    out_dir = Path(output_dir)
+    is_main = jax.process_index() == 0
+    writer = SummaryWriter(out_dir / "logs") if is_main else None
+    if is_main:
+        save_yaml(conf, out_dir / "config.yaml")
+
+    cfg = make_train_config(conf)
+    dconf = conf["data"]
+    size = int(conf["train"]["input_size"])
+
+    train_ds = SimpleDataset(
+        DatasetConf(
+            dataset_dir=dconf["dataset_dir"],
+            csv_name="train.csv",
+            batch_size=int(dconf["batch_size"]),
+            augmentation=dconf.get("augmentation", "geocalib"),
+            seed=int(conf["seed"]),
+            camera_model=dconf.get("camera_model", cfg.camera_model),
+        )
+    )
+    val_ds = SimpleDataset(
+        DatasetConf(
+            dataset_dir=dconf["dataset_dir"],
+            csv_name="val.csv",
+            batch_size=int(dconf["batch_size"]),
+            shuffle=False,
+            augmentation="identity",
+            camera_model=dconf.get("camera_model", cfg.camera_model),
+        )
+    )
+
+    mesh = make_mesh()
+    net, state = create_train_state(
+        jax.random.PRNGKey(conf["seed"]), cfg, (1, size, size, 3)
+    )
+    manager = ExperimentManager(out_dir)
+    start_step = 0
+    if restore and manager.latest_step() is not None:
+        state, start_step = manager.restore(state)
+        # restored arrays are committed to one device; re-replicate over the mesh
+        from geocalib_tpu.parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+        print(f"restored checkpoint at step {start_step}")
+
+    step_fn = make_sharded_train_step(net, cfg, mesh)
+    eval_fn = make_eval_step(net, cfg)
+
+    t_conf = conf["train"]
+    total = min(int(t_conf["total_steps"]), max_steps or 10**12)
+    best = float("inf")
+    rng = jax.random.PRNGKey(conf["seed"] + 1)
+    step = start_step
+    scalars: Dict[str, float] = {}
+    t0 = time.time()
+
+    epoch = 0
+    while step < total:
+        for batch in train_ds.epoch(epoch=epoch):
+            if step >= total:
+                break
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+            )
+            rng, step_rng = jax.random.split(rng)
+            state, out = step_fn(state, batch, step_rng)
+
+            if step % int(t_conf["log_every"]) == 0:
+                scalars = {k: float(v) for k, v in out.items()}
+                rate = (
+                    int(dconf["batch_size"]) * int(t_conf["log_every"]) / (time.time() - t0)
+                    if step > start_step
+                    else 0.0
+                )
+                t0 = time.time()
+                if is_main:
+                    writer.add_scalars(scalars | {"images_per_s": rate}, step)
+                    print(
+                        f"[{step}/{total}] loss {scalars.get('loss/total', np.nan):.4f} "
+                        f"param {scalars.get('loss/param_total', np.nan):.4f} "
+                        f"({rate:.1f} img/s)"
+                    )
+
+            if step > start_step and step % int(t_conf["eval_every"]) == 0:
+                val = evaluate(eval_fn, state, val_ds, rng, max_batches=10)
+                if is_main:
+                    writer.add_scalars(val, step, prefix="val/")
+                key = t_conf["best_key"]
+                if is_main and val.get(key, float("inf")) < best:
+                    best = val[key]
+                    manager.save(state, step, conf, val, is_best=True)
+
+            if step > start_step and step % int(t_conf["save_every"]) == 0 and is_main:
+                manager.save(state, step, conf)
+            step += 1
+        epoch += 1
+
+    if is_main:
+        manager.save(state, step, conf, scalars)
+        writer.close()
+    return scalars
+
+
+def evaluate(eval_fn, state, dataset, rng, max_batches: int = 10) -> Dict[str, float]:
+    agg: Dict[str, list] = {}
+    for i, batch in enumerate(dataset.epoch(epoch=0)):
+        if i >= max_batches:
+            break
+        out = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
+        for k, v in out.items():
+            agg.setdefault(k, []).append(float(v))
+    return {k: float(np.mean(v)) for k, v in agg.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("experiment", help="experiment name (under outputs/training)")
+    ap.add_argument("--conf", default=None, help="YAML config path")
+    ap.add_argument("--restore", action="store_true")
+    ap.add_argument("--output_root", default="outputs/training")
+    ap.add_argument("dotlist", nargs="*", help="a.b=c overrides")
+    args = ap.parse_args()
+
+    conf = merge(default_conf, load_yaml(args.conf) if args.conf else None)
+    conf = apply_dotlist(conf, args.dotlist)
+    training(conf, Path(args.output_root) / args.experiment, restore=args.restore)
+
+
+if __name__ == "__main__":
+    main()

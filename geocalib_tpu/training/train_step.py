@@ -104,8 +104,15 @@ def loss_and_updates(net: GeoCalibNet, cfg: TrainConfig, params, batch_stats, ba
     """Forward (net + differentiable LM) and training losses.
 
     batch: image (B,H,W,3), up_field (B,H,W,2), latitude_field (B,H,W,1),
-    camera (Camera GT), gravity (Gravity GT).
+    camera (Camera GT), gravity (Gravity GT). A raw loader batch with only
+    (image, gt_params) is accepted too — GT fields are synthesized on
+    device (cheap planar math; the reference renders them in host loader
+    workers, simple_dataset.py:171-186).
     """
+    if "up_field" not in batch:
+        from geocalib_tpu.data.dataset import synthesize_gt_fields
+
+        batch = synthesize_gt_fields(batch, cfg.camera_model)
     d_rng, n_rng = jax.random.split(rng)
     fields, mutated = net.apply(
         {"params": params, "batch_stats": batch_stats},
