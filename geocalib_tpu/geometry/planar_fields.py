@@ -41,6 +41,19 @@ def make_grid(camera: Camera, h: int, w: int) -> Tuple[Array, Array]:
     return u, v
 
 
+def strided_grid(
+    camera: Camera, h: int, w: int, stride: int
+) -> Tuple[Array, Array]:
+    """Normalized coords for every stride-th pixel (matches grid[::s, ::s])."""
+    x = jnp.arange(0, w, stride, dtype=jnp.float32)
+    y = jnp.arange(0, h, stride, dtype=jnp.float32)
+    xx = jnp.tile(x, y.shape[0])
+    yy = jnp.repeat(y, x.shape[0])
+    fx, fy = camera.f[..., 0:1], camera.f[..., 1:2]
+    cx, cy = camera.c[..., 0:1], camera.c[..., 1:2]
+    return (xx - cx) / fx, (yy - cy) / fy
+
+
 def _k_planes(camera: Camera) -> Tuple[Array, Array]:
     return camera.k[..., 0:1], camera.k[..., 1:2]  # (B, 1)
 

@@ -69,6 +69,7 @@ class LMConfig:
     loss_fn: str = "huber"
     use_up: bool = True
     use_latitude: bool = True
+    init_mode: str = "trivial"  # "trivial" | "heuristic"
     # which parameters to optimize; priors flip these to False
     estimate_gravity: bool = True
     estimate_focal: bool = True
@@ -163,6 +164,54 @@ def get_trivial_estimation(
         gravity = pg if isinstance(pg, Gravity) else Gravity.from_vec3d(jnp.asarray(pg))
     else:
         gravity = Gravity.from_rp(jnp.zeros((B,)), jnp.zeros((B,)))
+    return camera, gravity
+
+
+def get_heuristic_estimation(
+    data: Dict[str, Array], cfg: LMConfig
+) -> Tuple[Camera, Gravity]:
+    """Initialize from the fields themselves (reference
+    siclib/models/optimization/utils.py:27-82): roll = center up-vector
+    angle, pitch = center latitude, vfov = |top−bottom| center latitude.
+    """
+    up = data["up_field"]
+    lat = data["latitude_field"]
+    B, h, w = up.shape[0], up.shape[1], up.shape[2]
+
+    up_c = up[:, h // 2, w // 2]  # (B, 2)
+    init_r = jnp.clip(
+        -jnp.arctan2(up_c[..., 0], -up_c[..., 1]),
+        -jnp.radians(45.0),
+        jnp.radians(45.0),
+    )
+    init_p = jnp.clip(
+        lat[:, h // 2, w // 2, 0], -jnp.radians(45.0), jnp.radians(45.0)
+    )
+    init_vfov = jnp.clip(
+        jnp.abs(lat[:, 0, w // 2, 0] - lat[:, -1, w // 2, 0]),
+        jnp.radians(20.0),
+        jnp.radians(120.0),
+    )
+
+    params = {
+        "width": jnp.full((B,), float(w)),
+        "height": jnp.full((B,), float(h)),
+        "vfov": init_vfov,
+    }
+    if "prior_focal" in data:
+        params["f"] = jnp.asarray(data["prior_focal"], jnp.float32)
+        del params["vfov"]
+    if "scales" in data:
+        params["scales"] = data["scales"]
+    if "prior_dist" in data:
+        params["dist"] = jnp.asarray(data["prior_dist"], jnp.float32)
+    camera = Camera.from_dict(params, model=cfg.camera_model)
+
+    if "prior_gravity" in data:
+        pg = data["prior_gravity"]
+        gravity = pg if isinstance(pg, Gravity) else Gravity.from_vec3d(jnp.asarray(pg))
+    else:
+        gravity = Gravity.from_rp(init_r, init_p)
     return camera, gravity
 
 
@@ -367,7 +416,10 @@ def run_lm(data: Dict[str, Array], cfg: LMConfig) -> LMResult:
     """
     cfg = resolve_priors(data, cfg)
     obs, h, w = flatten_observations(data, cfg)
-    camera0, gravity0 = get_trivial_estimation(data, cfg)
+    if cfg.init_mode == "heuristic" and "up_field" in data and "latitude_field" in data:
+        camera0, gravity0 = get_heuristic_estimation(data, cfg)
+    else:
+        camera0, gravity0 = get_trivial_estimation(data, cfg)
     camera, gravity, info = optimize(obs, camera0, gravity0, h, w, cfg)
     info["initial_vfov"] = camera0.vfov
     return LMResult(camera, gravity, info)
