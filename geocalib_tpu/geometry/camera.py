@@ -397,6 +397,23 @@ class Camera:
         norm = jnp.linalg.norm(p3d, axis=-1, keepdims=True)
         return p3d / jnp.maximum(norm, 1e-12)
 
+    def undistort_image(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Remove lens distortion from an image batch (B, h, w, 3).
+
+        Parity with the reference's grid-sample undistortion
+        (/root/reference/geocalib/camera.py:396-412): for each output pixel,
+        distort its normalized coordinates and bilinearly sample the source.
+        """
+        from geocalib_tpu.data.pano import _bilinear_sample
+
+        B, h, w = img.shape[0], img.shape[1], img.shape[2]
+        xy = self.pixel_coordinates(h, w)  # (N, 2)
+        uv = self.normalize(xy)
+        duv, _ = self.distort(uv)
+        pts = self.denormalize(duv)  # (B, N, 2)
+        out = jax.vmap(_bilinear_sample)(img, pts[..., 0], pts[..., 1])
+        return out.reshape(B, h, w, img.shape[-1])
+
 
 # ---------------------------------------------------------------------- #
 # distortion model specs (pure functions of k1, k2, uv, r2)
