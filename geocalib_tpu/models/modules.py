@@ -18,6 +18,11 @@ from flax import linen as nn
 Array = jnp.ndarray
 
 
+def gelu(x: Array) -> Array:
+    """Exact (erf) GELU — torch's nn.GELU default, unlike jax.nn.gelu."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _pair(p: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (p, p) if isinstance(p, int) else tuple(p)
 
@@ -89,17 +94,23 @@ class ConvModule(nn.Module):
 
 
 class ResidualConvUnit(nn.Module):
-    """relu→conv3→relu→conv3 + skip (reference geocalib/modules.py:57-80)."""
+    """relu→conv3→relu→conv3 + relu(x) (reference geocalib/modules.py:57-80).
+
+    The skip connection is relu(x), not x: the reference's inplace ReLU
+    (`self.relu = ReLU(inplace=True)`; modules.py:71-79) mutates its input,
+    so its `out + x` adds the *rectified* input. Trained reference weights
+    assume these semantics.
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        out = nn.relu(x)
-        out = Conv2d(self.features, 3, padding=1)(out)
+        r = nn.relu(x)
+        out = Conv2d(self.features, 3, padding=1)(r)
         out = nn.relu(out)
         out = Conv2d(self.features, 3, padding=1)(out)
-        return out + x
+        return out + r
 
 
 def resize_bilinear(x: Array, size: Tuple[int, int]) -> Array:
@@ -145,7 +156,7 @@ class Mlp(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = Conv2d(self.hidden_features, 1)(x)
         x = DWConv(self.hidden_features)(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = Conv2d(self.out_features, 1)(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -200,7 +211,7 @@ class SpatialAttention(nn.Module):
     def __call__(self, x: Array) -> Array:
         shortcut = x
         x = Conv2d(self.dim, 1)(x)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = AttentionModule(self.dim)(x)
         x = Conv2d(self.dim, 1)(x)
         return x + shortcut
@@ -243,7 +254,7 @@ class StemConv(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = Conv2d(self.out_channels // 2, 3, strides=2, padding=1)(x)
         x = BatchNorm(axis_name=self.bn_axis_name)(x, train=train)
-        x = nn.gelu(x)
+        x = gelu(x)
         x = Conv2d(self.out_channels, 3, strides=2, padding=1)(x)
         x = BatchNorm(axis_name=self.bn_axis_name)(x, train=train)
         return x

@@ -78,7 +78,8 @@ class MSCAN(nn.Module):
                     bn_axis_name=self.bn_axis_name,
                 )(x, train=train)
             cur += self.depths[i]
-            x = nn.LayerNorm()(x)  # over channels; NHWC needs no permute
+            # eps matches torch nn.LayerNorm (weight-conversion parity)
+            x = nn.LayerNorm(epsilon=1e-5)(x)  # over channels; NHWC needs no permute
             outs.append(x)
 
         return tuple(outs)
