@@ -101,13 +101,17 @@ def sinlat_planes(
     return (a * ud + b * vd + cg) * inv
 
 
-def _manifold_planes(gravity: Gravity, spherical: bool):
+def manifold_matrix(gravity: Gravity, spherical: bool) -> Array:
+    """J_abc2delta (B, 3, 2): gravity-tangent basis for the J planes."""
+    return (
+        SphericalManifold.J_plus(gravity.vec3d) if spherical else gravity.J_rp()
+    )
+
+
+def _manifold_planes(gravity: Gravity, spherical: bool, M: Array = None):
     """J_abc2delta entries m[k][d] as (B, 1) planes (k < 3, d < 2)."""
-    M = (
-        SphericalManifold.J_plus(gravity.vec3d)
-        if spherical
-        else gravity.J_rp()
-    )  # (B, 3, 2)
+    if M is None:
+        M = manifold_matrix(gravity, spherical)  # (B, 3, 2)
     return [[M[..., k, d][..., None] for d in range(2)] for k in range(3)]
 
 
@@ -126,6 +130,7 @@ def J_up_planes(
     v: Array,
     spherical: bool = False,
     log_focal: bool = False,
+    M: Array = None,
 ) -> List[List[Array]]:
     """Jacobian planes J[c][p] of the normalized up field, c<2, p<3+num_k.
 
@@ -174,7 +179,7 @@ def J_up_planes(
     else:
         one = jnp.ones_like(u)
         t_abc = ((one, 0.0 * u, -u), (0.0 * u, one, -v))
-    m = _manifold_planes(gravity, spherical)
+    m = _manifold_planes(gravity, spherical, M)
     for d in range(2):
         td0 = t_abc[0][0] * m[0][d] + t_abc[0][1] * m[1][d] + t_abc[0][2] * m[2][d]
         td1 = t_abc[1][0] * m[0][d] + t_abc[1][1] * m[1][d] + t_abc[1][2] * m[2][d]
@@ -217,6 +222,7 @@ def J_lat_planes(
     v: Array,
     spherical: bool = False,
     log_focal: bool = False,
+    M: Array = None,
 ) -> List[Array]:
     """Jacobian planes J[p] of sin(latitude), p < 3+num_k.
 
@@ -241,7 +247,7 @@ def J_lat_planes(
     cols: List[Array] = []
 
     # gravity: bearing · m[:, d]
-    m = _manifold_planes(gravity, spherical)
+    m = _manifold_planes(gravity, spherical, M)
     for d in range(2):
         cols.append((ud * m[0][d] + vd * m[1][d] + m[2][d]) * inv)
 

@@ -75,6 +75,11 @@ class LMConfig:
     estimate_focal: bool = True
     estimate_dist: bool = True
     with_uncertainty: bool = True
+    # fused Pallas normal-equation kernel (ops/lm_kernel.py). None = auto:
+    # on for TPU backends, off elsewhere. pallas_interpret runs the kernel
+    # in interpreter mode (CPU tests).
+    use_pallas: Optional[bool] = None
+    pallas_interpret: bool = False
 
     @property
     def num_dist(self) -> int:
@@ -425,6 +430,20 @@ def run_lm(data: Dict[str, Array], cfg: LMConfig) -> LMResult:
     return LMResult(camera, gravity, info)
 
 
+def _use_kernel(cfg: LMConfig, n: int) -> bool:
+    """Resolve the pallas-vs-XLA dispatch statically at trace time."""
+    from geocalib_tpu.ops.lm_kernel import pallas_tile
+
+    use = cfg.use_pallas
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    return use and pallas_tile(n) is not None
+
+
+def _obs_dict(obs: Observations) -> Dict[str, Array]:
+    return {k: v for k, v in obs._asdict().items() if v is not None}
+
+
 def optimize(
     obs: Observations,
     camera0: Camera,
@@ -437,7 +456,17 @@ def optimize(
     B = camera0.batch_shape[0]
     lamb0 = jnp.full((1,) if cfg.shared_intrinsics else (B,), cfg.lambda_, jnp.float32)
 
-    initial_cost = _cost_only(camera0, gravity0, obs, h, w, cfg)
+    use_kernel = _use_kernel(cfg, h * w)
+    if use_kernel:
+        from geocalib_tpu.ops.lm_kernel import lm_system_pallas
+
+        data = _obs_dict(obs)
+        kernel_cost = lambda cam, grav: lm_system_pallas(
+            data, cam, grav, h, w, cfg, False, cfg.pallas_interpret
+        )[2]
+        initial_cost = kernel_cost(camera0, gravity0)
+    else:
+        initial_cost = _cost_only(camera0, gravity0, obs, h, w, cfg)
     prev0 = initial_cost.mean(keepdims=True) if cfg.shared_intrinsics else initial_cost
     converged0 = jnp.zeros_like(prev0, dtype=bool)
     stop_at0 = jnp.full_like(prev0, float(cfg.num_steps))
@@ -445,9 +474,14 @@ def optimize(
     def body(state, it):
         camera, gravity, lamb, prev_cost, converged, stop_at = state
 
-        r_up, r_lat = _residuals(camera, gravity, obs, h, w)
-        _, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
-        G, H = build_system(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
+        if use_kernel:
+            G, H, _ = lm_system_pallas(
+                data, camera, gravity, h, w, cfg, True, cfg.pallas_interpret
+            )
+        else:
+            r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+            _, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+            G, H = build_system(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
         delta = _solve_damped(G, H, lamb, cfg)
 
         freeze = converged if cfg.early_stop else jnp.zeros_like(converged)
@@ -459,7 +493,10 @@ def optimize(
             new_camera = _tree_select(converged, camera, new_camera)
             new_gravity = _tree_select(converged, gravity, new_gravity)
 
-        new_cost_lane = _cost_only(new_camera, new_gravity, obs, h, w, cfg)
+        if use_kernel:
+            new_cost_lane = kernel_cost(new_camera, new_gravity)
+        else:
+            new_cost_lane = _cost_only(new_camera, new_gravity, obs, h, w, cfg)
         new_cost = (
             new_cost_lane.mean(keepdims=True) if cfg.shared_intrinsics else new_cost_lane
         )
