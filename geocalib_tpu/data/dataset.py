@@ -39,6 +39,10 @@ class DatasetConf:
     augmentation: str = "identity"
     seed: int = 0
     camera_model: str = "pinhole"
+    # include per-image file names in each batch (host-only metadata; the
+    # eval pipeline uses them to key cached predictions — keep False for
+    # training batches that feed straight into jit)
+    return_names: bool = False
 
 
 class SimpleDataset:
@@ -99,10 +103,13 @@ class SimpleDataset:
                 self._load_row(self.rows[i], aug_seed=conf.seed + epoch * 1_000_003 + i)
                 for i in idx
             ]
-            yield {
+            batch = {
                 "image": np.stack([s["image"] for s in samples]),
                 "gt_params": np.stack([s["gt_params"] for s in samples]),
             }
+            if conf.return_names:
+                batch["names"] = [self.rows[i]["fname"] for i in idx]
+            yield batch
 
 
 def batch_gt(batch: Dict, camera_model: str = "pinhole"):

@@ -30,6 +30,10 @@ class EvalConf:
     thresholds: tuple = (1.0, 5.0, 10.0)
     compute_dtype: str = "bfloat16"
     variant: str = "b"
+    # also write per-image prediction groups (fields, confidences, camera/
+    # gravity params) to predictions.h5 — feeds CacheLoader + the inspector
+    # (parity: siclib/utils/export_predictions.py)
+    cache_fields: bool = False
 
 
 class SimplePipeline:
@@ -55,7 +59,17 @@ class SimplePipeline:
             out = camera_metrics(res.camera, cam_gt)
             out |= gravity_metrics(res.gravity, grav_gt)
             out |= {k: v for k, v in res.info.items() if v.ndim <= 1}
-            return out
+            cache = {
+                "up_field": fields["up_field"],
+                "latitude_field": fields["latitude_field"],
+                "roll": res.gravity.rp[..., 0],
+                "pitch": res.gravity.rp[..., 1],
+                "vfov": res.camera.vfov,
+            }
+            for k in ("up_confidence", "latitude_confidence"):
+                if k in fields:
+                    cache[k] = fields[k]
+            return out, cache
 
         return predict
 
@@ -70,14 +84,24 @@ class SimplePipeline:
             self._predict = self._make_predict()
 
         results: Dict[str, list] = {}
+        names: list = []
+        cached_preds: Dict[str, Dict[str, np.ndarray]] = {}
         for i, batch in enumerate(dataset.epoch(epoch=0)):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._predict(
+            out, cache = self._predict(
                 self.params, jnp.asarray(batch["image"]), jnp.asarray(batch["gt_params"])
             )
             for k, v in out.items():
                 results.setdefault(k, []).append(np.asarray(v))
+            batch_names = batch.get(
+                "names", [f"image_{i * dataset.conf.batch_size + j}" for j in range(len(batch["image"]))]
+            )
+            names.extend(batch_names)
+            if self.conf.cache_fields and experiment_dir is not None:
+                cache_np = {k: np.asarray(v) for k, v in cache.items()}
+                for j, name in enumerate(batch_names):
+                    cached_preds[name] = {k: v[j] for k, v in cache_np.items()}
 
         results_np = {k: np.concatenate(v) for k, v in results.items()}
         summaries = summarize_results(results_np, self.conf.thresholds)
@@ -90,7 +114,12 @@ class SimplePipeline:
             with h5py.File(exp / "results.h5", "w") as fh:
                 for k, v in results_np.items():
                     fh.create_dataset(k, data=v)
+                fh.create_dataset("names", data=np.asarray(names, dtype="S"))
             (exp / "summaries.json").write_text(json.dumps(summaries, indent=2))
+            if cached_preds:
+                from geocalib_tpu.models.cache_loader import export_predictions
+
+                export_predictions(exp / "predictions.h5", cached_preds)
         return summaries
 
 
@@ -111,6 +140,7 @@ def evaluate_benchmark(
             batch_size=conf.batch_size,
             shuffle=False,
             camera_model=camera_model,
+            return_names=True,
         )
     )
     return SimplePipeline(params, conf).run(ds, experiment_dir)

@@ -20,6 +20,9 @@ _REGISTRY: Dict[str, str] = {
     "decoders.light_hamburger": "geocalib_tpu.models.hamburger:LightHamHead",
     "decoders.fpn": "geocalib_tpu.models.fpn:FPN",
     "cache_loader": "geocalib_tpu.models.cache_loader:CacheLoader",
+    # external-dependency comparison baselines (import-gated)
+    "optimization.vp_from_prior": "geocalib_tpu.models.baselines:VPEstimator",
+    "networks.dust3r": "geocalib_tpu.models.baselines:Dust3R",
 }
 
 

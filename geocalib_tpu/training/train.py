@@ -94,11 +94,27 @@ def make_eval_step(net, cfg: TrainConfig):
     return eval_step
 
 
+def _loop_batches(dataset: SimpleDataset, overfit: bool):
+    """Epoch iterator; in overfit mode repeat the first batch forever
+    (parity: LoopSampler / --overfit, reference train.py:305-310,
+    base_dataset.py:24-43 — the single-batch sanity check for losses)."""
+    if overfit:
+        first = next(iter(dataset.epoch(epoch=0)))
+        while True:
+            yield first
+    else:
+        epoch = 0
+        while True:
+            yield from dataset.epoch(epoch=epoch)
+            epoch += 1
+
+
 def training(
     conf: Dict[str, Any],
     output_dir: str,
     restore: bool = False,
     max_steps: Optional[int] = None,
+    overfit: bool = False,
 ) -> Dict[str, float]:
     """Run the training loop; returns the last logged scalars."""
     out_dir = Path(output_dir)
@@ -157,46 +173,41 @@ def training(
     scalars: Dict[str, float] = {}
     t0 = time.time()
 
-    epoch = 0
-    while step < total:
-        for batch in train_ds.epoch(epoch=epoch):
-            if step >= total:
-                break
-            batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+    for batch in _loop_batches(train_ds, overfit):
+        if step >= total:
+            break
+        batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, out = step_fn(state, batch, step_rng)
+
+        if step % int(t_conf["log_every"]) == 0:
+            scalars = {k: float(v) for k, v in out.items()}
+            rate = (
+                int(dconf["batch_size"]) * int(t_conf["log_every"]) / (time.time() - t0)
+                if step > start_step
+                else 0.0
             )
-            rng, step_rng = jax.random.split(rng)
-            state, out = step_fn(state, batch, step_rng)
-
-            if step % int(t_conf["log_every"]) == 0:
-                scalars = {k: float(v) for k, v in out.items()}
-                rate = (
-                    int(dconf["batch_size"]) * int(t_conf["log_every"]) / (time.time() - t0)
-                    if step > start_step
-                    else 0.0
+            t0 = time.time()
+            if is_main:
+                writer.add_scalars(scalars | {"images_per_s": rate}, step)
+                print(
+                    f"[{step}/{total}] loss {scalars.get('loss/total', np.nan):.4f} "
+                    f"param {scalars.get('loss/param_total', np.nan):.4f} "
+                    f"({rate:.1f} img/s)"
                 )
-                t0 = time.time()
-                if is_main:
-                    writer.add_scalars(scalars | {"images_per_s": rate}, step)
-                    print(
-                        f"[{step}/{total}] loss {scalars.get('loss/total', np.nan):.4f} "
-                        f"param {scalars.get('loss/param_total', np.nan):.4f} "
-                        f"({rate:.1f} img/s)"
-                    )
 
-            if step > start_step and step % int(t_conf["eval_every"]) == 0:
-                val = evaluate(eval_fn, state, val_ds, rng, max_batches=10)
-                if is_main:
-                    writer.add_scalars(val, step, prefix="val/")
-                key = t_conf["best_key"]
-                if is_main and val.get(key, float("inf")) < best:
-                    best = val[key]
-                    manager.save(state, step, conf, val, is_best=True)
+        if step > start_step and step % int(t_conf["eval_every"]) == 0:
+            val = evaluate(eval_fn, state, val_ds, rng, max_batches=10)
+            if is_main:
+                writer.add_scalars(val, step, prefix="val/")
+            key = t_conf["best_key"]
+            if is_main and val.get(key, float("inf")) < best:
+                best = val[key]
+                manager.save(state, step, conf, val, is_best=True)
 
-            if step > start_step and step % int(t_conf["save_every"]) == 0 and is_main:
-                manager.save(state, step, conf)
-            step += 1
-        epoch += 1
+        if step > start_step and step % int(t_conf["save_every"]) == 0 and is_main:
+            manager.save(state, step, conf)
+        step += 1
 
     if is_main:
         manager.save(state, step, conf, scalars)
@@ -220,13 +231,23 @@ def main():
     ap.add_argument("experiment", help="experiment name (under outputs/training)")
     ap.add_argument("--conf", default=None, help="YAML config path")
     ap.add_argument("--restore", action="store_true")
+    ap.add_argument(
+        "--overfit",
+        action="store_true",
+        help="repeat one batch forever (loss sanity check; reference --overfit)",
+    )
     ap.add_argument("--output_root", default="outputs/training")
     ap.add_argument("dotlist", nargs="*", help="a.b=c overrides")
     args = ap.parse_args()
 
     conf = merge(default_conf, load_yaml(args.conf) if args.conf else None)
     conf = apply_dotlist(conf, args.dotlist)
-    training(conf, Path(args.output_root) / args.experiment, restore=args.restore)
+    training(
+        conf,
+        Path(args.output_root) / args.experiment,
+        restore=args.restore,
+        overfit=args.overfit,
+    )
 
 
 if __name__ == "__main__":
