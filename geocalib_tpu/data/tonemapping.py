@@ -76,7 +76,7 @@ def main(argv=None):
     ap.add_argument("--exposure", type=float, default=1.0)
     args = ap.parse_args(argv)
 
-    from geocalib_tpu.utils.image import save_image
+    from geocalib_tpu.utils.image import write_image
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -93,7 +93,7 @@ def main(argv=None):
             continue
         kw = {"exposure": args.exposure} if args.operator == "log" else {}
         ldr = tonemap(img, args.operator, **kw)
-        save_image((ldr * 255).astype(np.uint8), out_dir / (path.stem + ".jpg"))
+        write_image(ldr, out_dir / (path.stem + ".jpg"))
         done += 1
     print(f"tonemapped {done}/{len(paths)} panoramas → {out_dir}")
 

@@ -30,10 +30,17 @@ class Benchmark:
     name: str
     url: Optional[str]
     camera_model: str = "pinhole"
-    csv_name: str = "test.csv"
+    # real zips ship images/ + images.csv with variable-size images
+    # (reference eval/lamar2k.py:27-28); generated sets use split CSVs
+    csv_name: str = "images.csv"
     # Stanford2D3D requires accepting the dataset terms (reference
     # eval/utils.py:25-38)
     requires_terms: bool = False
+
+    @property
+    def variable_size(self) -> bool:
+        """Real downloads mix image sizes → shape-bucketed eval path."""
+        return self.url is not None
 
 
 BENCHMARKS: Dict[str, Benchmark] = {
@@ -56,9 +63,13 @@ BENCHMARKS: Dict[str, Benchmark] = {
         "https://cvg-data.inf.ethz.ch/GeoCalib_ECCV2024/stanford2d3d.zip",
         requires_terms=True,
     ),
-    "openpano": Benchmark("openpano", None),  # generated from OpenPano panos
-    "openpano_radial": Benchmark("openpano_radial", None, camera_model="simple_radial"),
-    "openpano_synth": Benchmark("openpano_synth", None),  # fully procedural
+    # generated from OpenPano panos
+    "openpano": Benchmark("openpano", None, csv_name="test.csv"),
+    "openpano_radial": Benchmark(
+        "openpano_radial", None, camera_model="simple_radial", csv_name="test.csv"
+    ),
+    # fully procedural (no network needed)
+    "openpano_synth": Benchmark("openpano_synth", None, csv_name="test.csv"),
 }
 
 
@@ -118,10 +129,19 @@ def run_benchmark(
     **eval_kw,
 ) -> Dict[str, float]:
     """Prepare + evaluate a benchmark; returns the summary dict."""
-    from geocalib_tpu.eval.pipeline import evaluate_benchmark
+    from geocalib_tpu.eval.pipeline import evaluate_benchmark, evaluate_real_benchmark
 
     bench = BENCHMARKS[name]
     target = prepare_benchmark(name, data_path)
+    if bench.variable_size:
+        return evaluate_real_benchmark(
+            params,
+            str(target),
+            camera_model=bench.camera_model,
+            experiment_dir=str(experiment_dir) if experiment_dir else None,
+            csv_name=bench.csv_name,
+            **eval_kw,
+        )
     return evaluate_benchmark(
         params,
         str(target),

@@ -42,12 +42,13 @@ def pixel_projection_errors(
             model=camera_gt.model,
         )
 
-    H = camera_gt.size[..., 1].max()
-    W = camera_gt.size[..., 0].max()
-    xs = jnp.linspace(0.0, W - 1.0, n)
-    ys = jnp.linspace(0.0, H - 1.0, n)
-    xx, yy = jnp.meshgrid(xs, ys, indexing="xy")
-    xy = jnp.stack([xx, yy], axis=-1).reshape(-1, 2)  # (n*n, 2)
+    # per-image n×n grids over each image's own [0, W_i-1]×[0, H_i-1] — the
+    # batch may mix original sizes (reference builds the grid per image,
+    # simple_pipeline.py:78-82)
+    t = jnp.linspace(0.0, 1.0, n)
+    xg, yg = jnp.meshgrid(t, t, indexing="xy")
+    unit = jnp.stack([xg, yg], axis=-1).reshape(-1, 2)  # (n*n, 2) in [0,1]
+    xy = unit[None] * (camera_gt.size[:, None, :] - 1.0)  # (B, n*n, 2)
 
     uv_pin, _ = camera_gt.pinhole().image2world(xy)
     xy_gt, valid_gt = camera_gt.world2image(uv_pin)

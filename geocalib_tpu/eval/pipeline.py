@@ -48,6 +48,7 @@ class SimplePipeline:
     def _make_predict(self):
         cfg = LMConfig(camera_model=self.conf.camera_model)
         dtype = jnp.dtype(self.conf.compute_dtype)
+        with_cache = self.conf.cache_fields  # static at trace time
 
         @jax.jit
         def predict(params, image, gt_params):
@@ -59,16 +60,18 @@ class SimplePipeline:
             out = camera_metrics(res.camera, cam_gt)
             out |= gravity_metrics(res.gravity, grav_gt)
             out |= {k: v for k, v in res.info.items() if v.ndim <= 1}
-            cache = {
-                "up_field": fields["up_field"],
-                "latitude_field": fields["latitude_field"],
-                "roll": res.gravity.rp[..., 0],
-                "pitch": res.gravity.rp[..., 1],
-                "vfov": res.camera.vfov,
-            }
-            for k in ("up_confidence", "latitude_confidence"):
-                if k in fields:
-                    cache[k] = fields[k]
+            cache = {}
+            if with_cache:  # avoid device memory + transfer when unused
+                cache = {
+                    "up_field": fields["up_field"],
+                    "latitude_field": fields["latitude_field"],
+                    "roll": res.gravity.rp[..., 0],
+                    "pitch": res.gravity.rp[..., 1],
+                    "vfov": res.camera.vfov,
+                }
+                for k in ("up_confidence", "latitude_confidence"):
+                    if k in fields:
+                        cache[k] = fields[k]
             return out, cache
 
         return predict
@@ -114,13 +117,136 @@ class SimplePipeline:
             with h5py.File(exp / "results.h5", "w") as fh:
                 for k, v in results_np.items():
                     fh.create_dataset(k, data=v)
-                fh.create_dataset("names", data=np.asarray(names, dtype="S"))
+                fh.create_dataset(
+                    "names", data=np.array([str(n).encode("utf-8") for n in names])
+                )
             (exp / "summaries.json").write_text(json.dumps(summaries, indent=2))
             if cached_preds:
                 from geocalib_tpu.models.cache_loader import export_predictions
 
                 export_predictions(exp / "predictions.h5", cached_preds)
         return summaries
+
+
+class BenchmarkPipeline:
+    """Evaluate on a real variable-size benchmark (lamar2k zip layout).
+
+    Matches the reference protocol (siclib/eval/simple_pipeline.py:198-379,
+    eval/lamar2k.py:29-32): every image preprocessed (resize short side 320,
+    crop /32), model + LM run in the scaled space, the predicted camera
+    mapped back with undo_scale_crop, and ALL camera metrics computed in
+    ORIGINAL pixel space against the CSV ground truth. Batches are
+    shape-bucketed (data/benchmark.py) so jit compiles once per aspect
+    bucket instead of once per image size.
+    """
+
+    def __init__(self, params, conf: Optional[EvalConf] = None, net: Optional[GeoCalibNet] = None):
+        self.conf = conf or EvalConf()
+        self.net = net or GeoCalibNet(variant=self.conf.variant)
+        self.params = params
+        self._predict = None
+
+    def _make_predict(self):
+        from geocalib_tpu.geometry.camera import Camera
+        from geocalib_tpu.geometry.gravity import Gravity
+
+        cfg = LMConfig(camera_model=self.conf.camera_model)
+        dtype = jnp.dtype(self.conf.compute_dtype)
+
+        @jax.jit
+        def predict(params, image, gt_cam, gt_rp, scales, crop_pad):
+            p = jax.tree.map(lambda x: x.astype(dtype), params)
+            fields = self.net.apply(p, image.astype(dtype))
+            fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
+            res = run_lm(dict(fields), cfg)
+
+            # back to original pixel space (simple_pipeline.py:281-282)
+            records = {"scales": scales, "crop_pad": crop_pad}
+            cam_pred = res.camera.undo_scale_crop(records)
+            cam_gt = Camera.from_data(gt_cam, model=self.conf.camera_model)
+            grav_gt = Gravity.from_rp(gt_rp[:, 0], gt_rp[:, 1])
+
+            out = camera_metrics(cam_pred, cam_gt)
+            out |= gravity_metrics(res.gravity, grav_gt)
+            out |= {k: v for k, v in res.info.items() if v.ndim <= 1}
+            out |= {
+                "roll_gt": jnp.degrees(grav_gt.roll),
+                "pitch_gt": jnp.degrees(grav_gt.pitch),
+                "vfov_gt": jnp.degrees(cam_gt.vfov),
+                "focal_gt": cam_gt.f[..., 1],
+            }
+            return out
+
+        return predict
+
+    def run(
+        self,
+        dataset,
+        experiment_dir: Optional[str] = None,
+        max_batches: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Returns the summary dict; writes results.h5 + summaries.json."""
+        if self._predict is None:
+            self._predict = self._make_predict()
+
+        results: Dict[str, list] = {}
+        names: list = []
+        for i, batch in enumerate(dataset.batches()):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self._predict(
+                self.params,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["gt_cam"]),
+                jnp.asarray(batch["gt_rp"]),
+                jnp.asarray(batch["scales"]),
+                jnp.asarray(batch["crop_pad"]),
+            )
+            valid = batch["valid"]
+            for k, v in out.items():
+                results.setdefault(k, []).append(np.asarray(v)[valid])
+            names.extend(n for n, ok in zip(batch["names"], valid) if ok)
+
+        results_np = {k: np.concatenate(v) for k, v in results.items()}
+        summaries = summarize_results(results_np, self.conf.thresholds)
+
+        if experiment_dir is not None:
+            exp = Path(experiment_dir)
+            exp.mkdir(parents=True, exist_ok=True)
+            import h5py
+
+            with h5py.File(exp / "results.h5", "w") as fh:
+                for k, v in results_np.items():
+                    fh.create_dataset(k, data=v)
+                fh.create_dataset(
+                    "names", data=np.array([str(n).encode("utf-8") for n in names])
+                )
+            (exp / "summaries.json").write_text(json.dumps(summaries, indent=2))
+        return summaries
+
+
+def evaluate_real_benchmark(
+    params,
+    dataset_dir: str,
+    camera_model: str = "pinhole",
+    experiment_dir: Optional[str] = None,
+    csv_name: str = "images.csv",
+    resize: Optional[int] = 320,
+    **conf_kw,
+) -> Dict[str, float]:
+    """Evaluate on a downloaded benchmark zip dir (variable-size images)."""
+    from geocalib_tpu.data.benchmark import BenchmarkDataConf, BenchmarkDataset
+
+    conf = EvalConf(camera_model=camera_model, **conf_kw)
+    ds = BenchmarkDataset(
+        BenchmarkDataConf(
+            dataset_dir=dataset_dir,
+            csv_name=csv_name,
+            batch_size=conf.batch_size,
+            resize=resize,
+        )
+    )
+    return BenchmarkPipeline(params, conf).run(ds, experiment_dir)
 
 
 def evaluate_benchmark(

@@ -108,8 +108,16 @@ def manifold_matrix(gravity: Gravity, spherical: bool) -> Array:
     )
 
 
-def _manifold_planes(gravity: Gravity, spherical: bool, M: Array = None):
-    """J_abc2delta entries m[k][d] as (B, 1) planes (k < 3, d < 2)."""
+def _manifold_planes(gravity: Gravity, spherical: bool, M=None):
+    """J_abc2delta entries m[k][d] as (B, 1) planes (k < 3, d < 2).
+
+    M may be the (B, 3, 2) matrix, an already-expanded nested list of
+    (B, 1) planes (the Pallas kernel passes planes to avoid rank-changing
+    reshapes that Mosaic's layout inference rejects), or None (computed
+    from the gravity).
+    """
+    if isinstance(M, list):
+        return M
     if M is None:
         M = manifold_matrix(gravity, spherical)  # (B, 3, 2)
     return [[M[..., k, d][..., None] for d in range(2)] for k in range(3)]

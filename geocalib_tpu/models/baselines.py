@@ -59,11 +59,17 @@ class VPEstimator:
         )
         vfov = 2.0 * np.arctan2(h / 2.0, f)
         cam = Camera.from_dict({"height": float(h), "width": float(w), "vfov": float(vfov)})
-        up = vp[np.argmax(np.abs(vp @ prior))]
-        up = up / np.linalg.norm(up) * np.sign(up @ prior)
-        roll = float(np.arctan2(-up[0], -up[1]))
-        pitch = float(np.arcsin(np.clip(up[2], -1.0, 1.0)))
-        return {"camera": cam, "gravity": Gravity.from_rp(roll, pitch)}
+        # reference convention (vp_from_prior.py:134,150-155): flip the solver's
+        # vp y, pick the vp best aligned with the vertical prior, then
+        # ANTI-align it (gravity points down: Gravity.from_rp(0,0) = (0,-1,0)).
+        vp = np.asarray(vp, np.float64)
+        vp[:, 1] *= -1
+        norms = np.linalg.norm(vp, axis=-1)
+        cossim = (vp @ prior) / np.maximum(norms, 1e-12)
+        vvp = vp[np.argmax(np.abs(cossim))]
+        vvp = -vvp * np.sign(np.dot(prior, vvp))
+        g = vvp / np.linalg.norm(vvp)
+        return {"camera": cam, "gravity": Gravity.from_vec3d(np.asarray(g, np.float32))}
 
     def _detect_lines(self, gray: np.ndarray) -> np.ndarray:
         if self.line_type == "lsd":
@@ -112,8 +118,8 @@ class Dust3R:
         v = np.arange(h) - h / 2
         uu, vv = np.meshgrid(u, v)
         z = pts[..., 2]
-        fx = np.median(np.abs(uu * z / np.where(np.abs(pts[..., 0]) < 1e-6, np.nan, pts[..., 0])))
-        fy = np.median(np.abs(vv * z / np.where(np.abs(pts[..., 1]) < 1e-6, np.nan, pts[..., 1])))
+        fx = np.nanmedian(np.abs(uu * z / np.where(np.abs(pts[..., 0]) < 1e-6, np.nan, pts[..., 0])))
+        fy = np.nanmedian(np.abs(vv * z / np.where(np.abs(pts[..., 1]) < 1e-6, np.nan, pts[..., 1])))
         f = float(np.nanmean([fx, fy]))
         vfov = 2.0 * np.arctan2(h / 2.0, f)
         cam = Camera.from_dict({"height": float(h), "width": float(w), "vfov": float(vfov)})

@@ -22,7 +22,23 @@ class CacheLoader:
         self.keys = keys
 
     def names(self) -> List[str]:
-        return list(self._file.keys())
+        """All prediction-group names, including nested ones.
+
+        Image names containing "/" become nested h5 groups; a plain
+        ``keys()`` would list only the top level and silently drop them.
+        """
+        found: List[str] = []
+
+        def visit(name, obj):
+            import h5py
+
+            if isinstance(obj, h5py.Group) and any(
+                isinstance(child, h5py.Dataset) for child in obj.values()
+            ):
+                found.append(name)
+
+        self._file.visititems(visit)
+        return found
 
     def __call__(self, name: str) -> Dict[str, np.ndarray]:
         group = self._file[name]

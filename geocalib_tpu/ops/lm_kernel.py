@@ -98,7 +98,7 @@ def _tile_system(
 
     if not with_system:
         zero = jnp.zeros((B, P), jnp.float32)
-        return zero, jnp.zeros((B, P, P), jnp.float32), cost
+        return zero, jnp.zeros((B, P * P), jnp.float32), cost
 
     G_rows = [jnp.zeros((B,), jnp.float32)] * P
     H_rows = [[jnp.zeros((B,), jnp.float32)] * P for _ in range(P)]
@@ -114,7 +114,9 @@ def _tile_system(
         for q in range(p):
             H_rows[p][q] = H_rows[q][p]
     G = jnp.stack(G_rows, axis=-1)  # (B, P)
-    H = jnp.stack([jnp.stack(row, axis=-1) for row in H_rows], axis=-2)  # (B, P, P)
+    # H stays rank-2 (B, P*P) inside the kernel: Mosaic's layout inference
+    # rejects rank-changing vector reshapes/stacks on small arrays.
+    H = jnp.stack([H_rows[p][q] for p in range(P) for q in range(P)], axis=-1)
     return G, H, cost
 
 
@@ -132,7 +134,10 @@ def _make_kernel(cfg, obs_keys: Tuple[str, ...], model: str, with_system: bool):
 
         cam = Camera.from_data(cam_ref[:], model=model)
         gravity = Gravity(vec3d=grav_ref[:])
-        M = M_ref[:].reshape(-1, 3, 2)
+        # manifold matrix as (B, 1) plane slices — a (B,6)->(B,3,2) reshape
+        # is a rank-changing vector shape cast Mosaic cannot lay out.
+        M6 = M_ref[:]
+        M = [[M6[:, (2 * k + d) : (2 * k + d) + 1] for d in range(2)] for k in range(3)]
 
         fx, fy = cam.f[:, 0:1], cam.f[:, 1:2]
         cx, cy = cam.c[:, 0:1], cam.c[:, 1:2]
@@ -150,9 +155,9 @@ def _make_kernel(cfg, obs_keys: Tuple[str, ...], model: str, with_system: bool):
         if with_system:
             out_refs[0][:] += G
             out_refs[1][:] += H
-            out_refs[2][:, 0] += cost
+            out_refs[2][:] += cost[:, None]
         else:
-            out_refs[0][:, 0] += cost
+            out_refs[0][:] += cost[:, None]
 
     return kernel
 
@@ -179,10 +184,10 @@ def _forward_pallas(data, camera, gravity, h, w, cfg, with_system, interpret):
     if with_system:
         out_shape = (
             jax.ShapeDtypeStruct((B, P), jnp.float32),
-            jax.ShapeDtypeStruct((B, P, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, P * P), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         )
-        out_specs = (full(B, P), full(B, P, P), full(B, 1))
+        out_specs = (full(B, P), full(B, P * P), full(B, 1))
     else:
         out_shape = (jax.ShapeDtypeStruct((B, 1), jnp.float32),)
         out_specs = (full(B, 1),)
@@ -198,7 +203,7 @@ def _forward_pallas(data, camera, gravity, h, w, cfg, with_system, interpret):
 
     if with_system:
         G, H, cost = outs
-        return G, H, cost[:, 0] / N
+        return G, H.reshape(B, P, P), cost[:, 0] / N
     zero = jnp.zeros((B, P), jnp.float32)
     return zero, jnp.zeros((B, P, P), jnp.float32), outs[0][:, 0] / N
 
@@ -209,7 +214,8 @@ def _forward_planar(data, camera, gravity, h, w, cfg, with_system):
     M = pf.manifold_matrix(gravity, cfg.use_spherical_manifold)
     G, H, cost = _tile_system(u, v, data, camera, gravity, M, cfg, with_system)
     N = u.shape[-1]
-    return G, H, cost / N
+    P = cfg.num_params
+    return G, H.reshape(H.shape[0], P, P), cost / N
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

@@ -501,7 +501,10 @@ def optimize(
             new_cost_lane.mean(keepdims=True) if cfg.shared_intrinsics else new_cost_lane
         )
 
-        if not cfg.fix_lambda and not cfg.shared_intrinsics:
+        # λ updates in shared mode too (reference lm_optimizer.py:595-627
+        # runs update_lambda regardless of shared_intrinsics); in shared mode
+        # lamb/prev_cost/converged are all (1,) batch-mean lanes.
+        if not cfg.fix_lambda:
             lamb = jnp.where(converged, lamb, _update_lambda(lamb, prev_cost, new_cost))
 
         conv_now = jnp.abs(new_cost - prev_cost) <= cfg.atol + cfg.rtol * jnp.abs(prev_cost)
