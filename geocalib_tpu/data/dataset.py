@@ -65,8 +65,10 @@ class SimpleDataset:
         from geocalib_tpu.utils.image import load_image
 
         img = load_image(self.image_dir / row["fname"])
-        self.aug.reseed(aug_seed)
-        img = self.aug(img)
+        # a fresh augmentation per call keeps _load_row thread-safe for the
+        # PrefetchLoader workers (the instance only wraps a seeded rng)
+        aug = get_augmentation(self.conf.augmentation, aug_seed)
+        img = aug(img)
         h, w = img.shape[:2]
         params = np.array(
             [
@@ -110,6 +112,101 @@ class SimpleDataset:
             if conf.return_names:
                 batch["names"] = [self.rows[i]["fname"] for i in idx]
             yield batch
+
+
+class PrefetchLoader:
+    """Threaded, double-buffered host input pipeline.
+
+    The reference feeds its GPUs from multi-worker torch DataLoaders with
+    prefetch (base_dataset.py:167-193, num_workers=8/prefetch_factor=2);
+    the round-1 loader was a sequential single-thread loop that would starve
+    a v5e chip at batch 24 @ 320². This wrapper decodes/augments rows in a
+    thread pool (PIL decode and the numpy/PIL augment ops release the GIL)
+    and keeps up to ``prefetch`` assembled batches ready in a queue.
+
+    ``stall_s`` accumulates the time the consumer spent blocked waiting for
+    a batch — if it stays ~0 the chip is compute-bound, not input-bound.
+    """
+
+    def __init__(self, dataset: SimpleDataset, num_workers: int = 8, prefetch: int = 2):
+        self.dataset = dataset
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.stall_s = 0.0
+
+    def epoch(
+        self, epoch: int = 0, shard: int = 0, num_shards: int = 1
+    ) -> Iterator[Dict[str, Array]]:
+        import queue
+        import threading
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        ds, conf = self.dataset, self.dataset.conf
+        order = np.arange(len(ds.rows))
+        if conf.shuffle:
+            np.random.default_rng(conf.seed + epoch).shuffle(order)
+        order = order[shard::num_shards]
+        B = conf.batch_size
+        starts = list(range(0, len(order) - B + 1, B))
+        if not starts:
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer(pool):
+            try:
+                for start in starts:
+                    if stop.is_set():
+                        return
+                    idx = order[start : start + B]
+                    futures = [
+                        pool.submit(
+                            ds._load_row,
+                            ds.rows[i],
+                            conf.seed + epoch * 1_000_003 + i,
+                        )
+                        for i in idx
+                    ]
+                    samples = [f.result() for f in futures]
+                    batch = {
+                        "image": np.stack([s["image"] for s in samples]),
+                        "gt_params": np.stack([s["gt_params"] for s in samples]),
+                    }
+                    if conf.return_names:
+                        batch["names"] = [ds.rows[i]["fname"] for i in idx]
+                    if not put(batch):
+                        return
+            finally:
+                put(SENTINEL)
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            thread = threading.Thread(target=producer, args=(pool,), daemon=True)
+            thread.start()
+            try:
+                while True:
+                    t0 = time.time()
+                    batch = out_q.get()
+                    self.stall_s += time.time() - t0
+                    if batch is SENTINEL:
+                        break
+                    yield batch
+            finally:
+                stop.set()
+                while not out_q.empty():  # unblock a waiting producer
+                    out_q.get_nowait()
+                thread.join()
 
 
 def batch_gt(batch: Dict, camera_model: str = "pinhole"):

@@ -94,7 +94,13 @@ def damp_hessian(H: Array, lamb: Array, eps: float = 1e-6) -> Array:
 
 
 def solve_arrow(
-    D: Array, U: Array, S: Array, g_g: Array, g_i: Array, eps: float = 1e-12
+    D: Array,
+    U: Array,
+    S: Array,
+    g_g: Array,
+    g_i: Array,
+    eps: float = 1e-12,
+    cross_sum=None,
 ) -> Tuple[Array, Array]:
     """Solve the shared-intrinsics arrow system via a Schur complement.
 
@@ -108,6 +114,11 @@ def solve_arrow(
     this into a (2B+p)² matrix and factorizes it on the CPU
     (lm_optimizer.py:361-383, 429-434); the Schur form keeps everything
     batched and tiny: Ŝ = S - Σ_b U_bᵀ D_b⁻¹ U_b (p×p), then back-substitute.
+
+    When the image batch is sharded over a mesh axis (SURVEY §2.6 row 4),
+    pass ``cross_sum`` (e.g. ``lambda x: lax.psum(x, axis)``): the Schur
+    Σ_b corrections then reduce over the GLOBAL batch while D/U/g_g stay
+    per-shard. S and g_i must already be globally summed by the caller.
 
     Returns:
         x_g (B, 2), x_i (p,).
@@ -126,8 +137,12 @@ def solve_arrow(
     Dinv_U = jnp.einsum("bij,bjk->bik", inv, U)  # (B, 2, p)
     Dinv_g = jnp.einsum("bij,bj->bi", inv, g_g)  # (B, 2)
 
-    S_hat = S - jnp.einsum("bji,bjk->ik", U, Dinv_U)  # (p, p)
-    rhs = g_i - jnp.einsum("bji,bj->i", U, Dinv_g)  # (p,)
+    corr_S = jnp.einsum("bji,bjk->ik", U, Dinv_U)  # (p, p)
+    corr_g = jnp.einsum("bji,bj->i", U, Dinv_g)  # (p,)
+    if cross_sum is not None:
+        corr_S, corr_g = cross_sum(corr_S), cross_sum(corr_g)
+    S_hat = S - corr_S
+    rhs = g_i - corr_g
 
     x_i = cholesky_solve_small(S_hat, rhs)
     x_g = Dinv_g - jnp.einsum("bik,k->bi", Dinv_U, x_i)

@@ -80,6 +80,12 @@ class LMConfig:
     # in interpreter mode (CPU tests).
     use_pallas: Optional[bool] = None
     pallas_interpret: bool = False
+    # mesh axis the image batch is sharded over (set when calling run_lm
+    # inside shard_map). With shared_intrinsics this psums the intrinsic
+    # normal-equation blocks and the batch-mean cost across chips so every
+    # shard solves the same coupled system (SURVEY §2.6 row 4; reference
+    # dense assembly lm_optimizer.py:361-383 is single-device only).
+    axis_name: Optional[str] = None
 
     @property
     def num_dist(self) -> int:
@@ -377,18 +383,23 @@ def _solve_damped(G: Array, H: Array, lamb: Array, cfg: LMConfig) -> Array:
     Hd = linalg.damp_hessian(H, jnp.broadcast_to(lamb, H.shape[:1]))
     D = Hd[:, :2, :2]
     U = Hd[:, :2, 2:]
-    S = Hd[:, 2:, 2:].sum(0)
+    cross = (
+        (lambda x: jax.lax.psum(x, cfg.axis_name)) if cfg.axis_name else None
+    )
     # off-diagonal damping artifacts: damp_hessian only touches the diagonal,
     # but S must be damped on the *summed* diagonal like the reference's dense
-    # assembly (lm_optimizer.py:361-383). Rebuild S from the undamped blocks.
+    # assembly (lm_optimizer.py:361-383). Rebuild S from the undamped blocks,
+    # summing over the GLOBAL batch when it is sharded over a mesh axis.
     S_raw = H[:, 2:, 2:].sum(0)
+    g_i = G[:, 2:].sum(0)
+    if cross is not None:
+        S_raw, g_i = cross(S_raw), cross(g_i)
     diag = jnp.diagonal(S_raw, axis1=-2, axis2=-1)
     S = S_raw + jnp.maximum(diag * lamb, 1e-6)[..., None] * jnp.eye(
         S_raw.shape[-1], dtype=S_raw.dtype
     )
     g_g = G[:, :2]
-    g_i = G[:, 2:].sum(0)
-    x_g, x_i = linalg.solve_arrow(D, U, S, g_g, g_i)
+    x_g, x_i = linalg.solve_arrow(D, U, S, g_g, g_i, cross_sum=cross)
     return jnp.concatenate([x_g, jnp.broadcast_to(x_i, (G.shape[0],) + x_i.shape)], -1)
 
 
@@ -444,6 +455,14 @@ def _obs_dict(obs: Observations) -> Dict[str, Array]:
     return {k: v for k, v in obs._asdict().items() if v is not None}
 
 
+def _shared_mean(cost_lane: Array, cfg: LMConfig) -> Array:
+    """Batch-mean cost for shared mode; a global pmean when batch-sharded."""
+    m = cost_lane.mean(keepdims=True)
+    if cfg.axis_name:
+        m = jax.lax.pmean(m, cfg.axis_name)
+    return m
+
+
 def optimize(
     obs: Observations,
     camera0: Camera,
@@ -452,7 +471,16 @@ def optimize(
     w: int,
     cfg: LMConfig,
 ) -> Tuple[Camera, Gravity, Dict[str, Array]]:
-    """Fixed-length scan over LM iterations with per-lane freezing."""
+    """Fixed-length scan over LM iterations with per-lane freezing.
+
+    One fused O(N) pass per iteration: the system pass at the current
+    estimate also yields its cost, which is exactly the "new cost" the
+    previous iteration needed for λ/convergence bookkeeping — so the
+    reference's separate calculate_costs pass per step
+    (lm_optimizer.py:607-610) is folded away. λ updates and convergence
+    checks are therefore applied at the TOP of the next iteration with
+    identical values and ordering (parity-tested in tests/test_lm_parity.py).
+    """
     B = camera0.batch_shape[0]
     lamb0 = jnp.full((1,) if cfg.shared_intrinsics else (B,), cfg.lambda_, jnp.float32)
 
@@ -461,29 +489,48 @@ def optimize(
         from geocalib_tpu.ops.lm_kernel import lm_system_pallas
 
         data = _obs_dict(obs)
-        kernel_cost = lambda cam, grav: lm_system_pallas(
-            data, cam, grav, h, w, cfg, False, cfg.pallas_interpret
-        )[2]
-        initial_cost = kernel_cost(camera0, gravity0)
-    else:
-        initial_cost = _cost_only(camera0, gravity0, obs, h, w, cfg)
-    prev0 = initial_cost.mean(keepdims=True) if cfg.shared_intrinsics else initial_cost
-    converged0 = jnp.zeros_like(prev0, dtype=bool)
-    stop_at0 = jnp.full_like(prev0, float(cfg.num_steps))
 
-    def body(state, it):
-        camera, gravity, lamb, prev_cost, converged, stop_at = state
-
+    def system(camera, gravity):
+        """Fused (G, H, per-lane cost) at the current estimate."""
         if use_kernel:
-            G, H, _ = lm_system_pallas(
+            return lm_system_pallas(
                 data, camera, gravity, h, w, cfg, True, cfg.pallas_interpret
             )
-        else:
-            r_up, r_lat = _residuals(camera, gravity, obs, h, w)
-            _, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
-            G, H = build_system(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
-        delta = _solve_damped(G, H, lamb, cfg)
+        r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+        cost, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+        G, H = build_system(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
+        return G, H, cost
 
+    cost_shape = (1,) if cfg.shared_intrinsics else (B,)
+    prev0 = jnp.zeros(cost_shape, jnp.float32)
+    converged0 = jnp.zeros(cost_shape, dtype=bool)
+    stop_at0 = jnp.full(cost_shape, float(cfg.num_steps))
+    initial0 = jnp.zeros((B,), jnp.float32)
+
+    def body(state, it):
+        camera, gravity, lamb, prev_cost, initial_cost, converged, stop_at = state
+
+        G, H, cost_lane = system(camera, gravity)
+        cost = _shared_mean(cost_lane, cfg) if cfg.shared_intrinsics else cost_lane
+        first = it == 0.0
+        initial_cost = jnp.where(first, cost_lane, initial_cost)
+
+        # bookkeeping deferred from the previous iteration: this cost IS the
+        # previous step's "new cost" (the estimate did not change in between)
+        # NOTE: the reference deliberately freezes λ in shared-intrinsics
+        # mode (lm_optimizer.py:612-613: `if not fix_lambda and not
+        # shared_intrinsics`); parity-tested in tests/test_lm_parity.py.
+        if not cfg.fix_lambda and not cfg.shared_intrinsics:
+            lamb = jnp.where(
+                first | converged, lamb, _update_lambda(lamb, prev_cost, cost)
+            )
+        conv_now = (~first) & (
+            jnp.abs(cost - prev_cost) <= cfg.atol + cfg.rtol * jnp.abs(prev_cost)
+        )
+        stop_at = jnp.where(~converged & conv_now, it, stop_at)
+        converged = converged | conv_now
+
+        delta = _solve_damped(G, H, lamb, cfg)
         freeze = converged if cfg.early_stop else jnp.zeros_like(converged)
         lane_freeze = jnp.broadcast_to(freeze[..., None], delta.shape) if not cfg.shared_intrinsics else freeze
         delta = jnp.where(lane_freeze, 0.0, delta)
@@ -493,29 +540,18 @@ def optimize(
             new_camera = _tree_select(converged, camera, new_camera)
             new_gravity = _tree_select(converged, gravity, new_gravity)
 
-        if use_kernel:
-            new_cost_lane = kernel_cost(new_camera, new_gravity)
-        else:
-            new_cost_lane = _cost_only(new_camera, new_gravity, obs, h, w, cfg)
-        new_cost = (
-            new_cost_lane.mean(keepdims=True) if cfg.shared_intrinsics else new_cost_lane
-        )
+        return (
+            new_camera,
+            new_gravity,
+            lamb,
+            cost,
+            initial_cost,
+            converged,
+            stop_at,
+        ), None
 
-        # λ updates in shared mode too (reference lm_optimizer.py:595-627
-        # runs update_lambda regardless of shared_intrinsics); in shared mode
-        # lamb/prev_cost/converged are all (1,) batch-mean lanes.
-        if not cfg.fix_lambda:
-            lamb = jnp.where(converged, lamb, _update_lambda(lamb, prev_cost, new_cost))
-
-        conv_now = jnp.abs(new_cost - prev_cost) <= cfg.atol + cfg.rtol * jnp.abs(prev_cost)
-        stop_at = jnp.where(~converged & conv_now, it + 1.0, stop_at)
-        converged = converged | conv_now
-
-        prev_cost = jnp.where(converged & cfg.early_stop, prev_cost, new_cost)
-        return (new_camera, new_gravity, lamb, prev_cost, converged, stop_at), None
-
-    state0 = (camera0, gravity0, lamb0, prev0, converged0, stop_at0)
-    (camera, gravity, lamb, final_prev, converged, stop_at), _ = jax.lax.scan(
+    state0 = (camera0, gravity0, lamb0, prev0, initial0, converged0, stop_at0)
+    (camera, gravity, lamb, final_prev, initial_cost, converged, stop_at), _ = jax.lax.scan(
         body, state0, jnp.arange(cfg.num_steps, dtype=jnp.float32)
     )
 

@@ -53,6 +53,13 @@ default_conf: Dict[str, Any] = {
         "save_every": 5000,
         "best_key": "loss/param_total",
         "input_size": 320,
+        # benchmark evals during training (reference train.py:425-440 runs
+        # them per epoch on rank 0); 0 disables. Names from eval/benchmarks.
+        "benchmark_every": 0,
+        "benchmarks": ["openpano_synth"],
+        # log up/latitude field figures with each val eval (0 disables)
+        "figures_every": 1000,
+        "val_batches": 10,
     },
     "data": {
         "dataset_dir": "",
@@ -94,18 +101,30 @@ def make_eval_step(net, cfg: TrainConfig):
     return eval_step
 
 
-def _loop_batches(dataset: SimpleDataset, overfit: bool):
+def _loop_batches(dataset: SimpleDataset, overfit: bool, loader=None):
     """Epoch iterator; in overfit mode repeat the first batch forever
     (parity: LoopSampler / --overfit, reference train.py:305-310,
-    base_dataset.py:24-43 — the single-batch sanity check for losses)."""
+    base_dataset.py:24-43 — the single-batch sanity check for losses).
+
+    Multi-host: each process loads only its own row shard — the
+    DistributedSampler equivalent (reference base_dataset.py:167-193);
+    shard_batch assembles the global array from the per-process rows.
+
+    Batches come through a threaded PrefetchLoader (decode/augment in
+    workers, double-buffered) so the chip is never input-bound.
+    """
+    from geocalib_tpu.data.dataset import PrefetchLoader
+
+    shard, num_shards = jax.process_index(), jax.process_count()
+    loader = loader or PrefetchLoader(dataset)
     if overfit:
-        first = next(iter(dataset.epoch(epoch=0)))
+        first = next(iter(dataset.epoch(epoch=0, shard=shard, num_shards=num_shards)))
         while True:
             yield first
     else:
         epoch = 0
         while True:
-            yield from dataset.epoch(epoch=epoch)
+            yield from loader.epoch(epoch=epoch, shard=shard, num_shards=num_shards)
             epoch += 1
 
 
@@ -127,11 +146,17 @@ def training(
     dconf = conf["data"]
     size = int(conf["train"]["input_size"])
 
+    # conf batch_size is the GLOBAL batch (reference splits it per GPU,
+    # train.py:283-289); each process loads its slice of every step
+    global_batch = int(dconf["batch_size"])
+    assert global_batch % jax.process_count() == 0, (
+        f"batch_size {global_batch} not divisible by {jax.process_count()} processes"
+    )
     train_ds = SimpleDataset(
         DatasetConf(
             dataset_dir=dconf["dataset_dir"],
             csv_name="train.csv",
-            batch_size=int(dconf["batch_size"]),
+            batch_size=global_batch // jax.process_count(),
             augmentation=dconf.get("augmentation", "geocalib"),
             seed=int(conf["seed"]),
             camera_model=dconf.get("camera_model", cfg.camera_model),
@@ -173,7 +198,11 @@ def training(
     scalars: Dict[str, float] = {}
     t0 = time.time()
 
-    for batch in _loop_batches(train_ds, overfit):
+    from geocalib_tpu.data.dataset import PrefetchLoader
+
+    loader = PrefetchLoader(train_ds)
+    last_stall = 0.0
+    for batch in _loop_batches(train_ds, overfit, loader=loader):
         if step >= total:
             break
         batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
@@ -187,23 +216,48 @@ def training(
                 if step > start_step
                 else 0.0
             )
+            stall = loader.stall_s - last_stall
+            last_stall = loader.stall_s
             t0 = time.time()
             if is_main:
-                writer.add_scalars(scalars | {"images_per_s": rate}, step)
+                writer.add_scalars(
+                    scalars | {"images_per_s": rate, "loader_stall_s": stall}, step
+                )
                 print(
                     f"[{step}/{total}] loss {scalars.get('loss/total', np.nan):.4f} "
                     f"param {scalars.get('loss/param_total', np.nan):.4f} "
-                    f"({rate:.1f} img/s)"
+                    f"({rate:.1f} img/s, loader stall {stall:.2f}s)"
                 )
 
         if step > start_step and step % int(t_conf["eval_every"]) == 0:
-            val = evaluate(eval_fn, state, val_ds, rng, max_batches=10)
+            val = evaluate(
+                eval_fn, state, val_ds, rng,
+                max_batches=int(t_conf.get("val_batches", 10)),
+            )
             if is_main:
                 writer.add_scalars(val, step, prefix="val/")
+                fig_every = int(t_conf.get("figures_every", 0))
+                if fig_every and step % fig_every == 0:
+                    _log_figures(writer, net, state, val_ds, cfg, step)
             key = t_conf["best_key"]
             if is_main and val.get(key, float("inf")) < best:
                 best = val[key]
                 manager.save(state, step, conf, val, is_best=True)
+
+        bench_every = int(t_conf.get("benchmark_every", 0))
+        if bench_every and step > start_step and step % bench_every == 0 and is_main:
+            # reference runs benchmark evals during training on rank 0
+            # (train.py:425-440)
+            from geocalib_tpu.eval.benchmarks import run_benchmark
+
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            for name in t_conf.get("benchmarks", []):
+                try:
+                    summary = run_benchmark(name, variables, variant=cfg.variant)
+                except Exception as e:  # missing data must not kill training
+                    print(f"benchmark {name} failed: {e}")
+                    continue
+                writer.add_scalars(summary, step, prefix=f"bench/{name}/")
 
         if step > start_step and step % int(t_conf["save_every"]) == 0 and is_main:
             manager.save(state, step, conf)
@@ -213,6 +267,32 @@ def training(
         manager.save(state, step, conf, scalars)
         writer.close()
     return scalars
+
+
+def _log_figures(writer, net, state, val_ds, cfg, step, n: int = 3) -> None:
+    """Up/latitude comparison figures for the first val batch (reference
+    writes figures from visualize_batch each eval, train.py:552-566)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from geocalib_tpu.data.dataset import synthesize_gt_fields
+        from geocalib_tpu.visualization.visualize_batch import make_perspective_figures
+
+        batch = next(iter(val_ds.epoch(epoch=0)))
+        data = synthesize_gt_fields(
+            {k: jnp.asarray(v) for k, v in batch.items()}, cfg.camera_model
+        )
+        pred = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, data["image"]
+        )
+        for tag, fig in make_perspective_figures(pred, data, n_pairs=n).items():
+            writer.add_figure(f"figures/{tag}", fig, step)
+            plt.close(fig)
+    except Exception as e:  # figures must never kill training
+        print(f"figure logging failed: {e}")
 
 
 def evaluate(eval_fn, state, dataset, rng, max_batches: int = 10) -> Dict[str, float]:
@@ -240,6 +320,9 @@ def main():
     ap.add_argument("dotlist", nargs="*", help="a.b=c overrides")
     args = ap.parse_args()
 
+    from geocalib_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     conf = merge(default_conf, load_yaml(args.conf) if args.conf else None)
     conf = apply_dotlist(conf, args.dotlist)
     training(

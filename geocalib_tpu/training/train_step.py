@@ -42,6 +42,11 @@ class TrainConfig:
     lm_steps: int = 10
     variant: str = "b"
     drop_path_rate: float = 0.1
+    # mixed precision: CNN forward/backward in this dtype, LM solver, losses,
+    # master params and optimizer state in f32 (the TPU equivalent of the
+    # reference's AMP autocast, siclib/train.py:360-367 — bf16 needs no
+    # GradScaler; flax BatchNorm keeps f32 running stats)
+    compute_dtype: str = "bfloat16"
 
     def lm_config(self) -> LMConfig:
         """Train-time solver preset (siclib lm_optimizer.py:43-47)."""
@@ -114,13 +119,19 @@ def loss_and_updates(net: GeoCalibNet, cfg: TrainConfig, params, batch_stats, ba
 
         batch = synthesize_gt_fields(batch, cfg.camera_model)
     d_rng, n_rng = jax.random.split(rng)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
+    )
     fields, mutated = net.apply(
-        {"params": params, "batch_stats": batch_stats},
-        batch["image"],
+        {"params": cast(params), "batch_stats": batch_stats},
+        batch["image"].astype(dtype),
         train=True,
         rngs={"dropout": d_rng, "nmf": n_rng},
         mutable=["batch_stats"],
     )
+    # solver + losses stay f32 (SURVEY §7: keep solver math in f32)
+    fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
     res = run_lm(dict(fields), cfg.lm_config())
     losses = geocalib_losses(
         fields, res.camera, res.gravity, batch, batch["camera"], batch["gravity"]
@@ -171,6 +182,7 @@ def train_step(net: GeoCalibNet, cfg: TrainConfig, state: TrainState, batch, rng
         f"metric/{k}": jax.lax.pmean(v.mean(), DATA_AXIS) for k, v in metrics.items()
     }
     scalars["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+    scalars["grad_norm"] = optax.global_norm(grads)  # post-pmean, pre-clip
     return state, scalars
 
 
