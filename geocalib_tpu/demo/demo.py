@@ -71,26 +71,115 @@ def annotate(image: np.ndarray, result, show=("horizon", "up", "latitude")) -> n
     return buf
 
 
+class InteractiveDemo:
+    """Live webcam loop with the reference's overlay/key-toggle zoo
+    (interactive_demo.py:359-416): h=horizon u=up l=latitude c=confidence
+    d=undistort g=grid b=box, 1/2/3 switch the camera model
+    (pinhole/simple_radial/simple_divisional), q quits. FPS + calibration
+    text are drawn each frame."""
+
+    KEYMAP = {
+        "h": "horizon",
+        "u": "up",
+        "l": "latitude",
+        "c": "confidence",
+        "d": "undistort",
+        "g": "grid",
+        "b": "box",
+    }
+    MODELS = {"1": "pinhole", "2": "simple_radial", "3": "simple_divisional"}
+
+    def __init__(self, calibrator, camera_id: int = 0):
+        self.calibrator = calibrator
+        self.camera_id = camera_id
+        self.camera_model = "pinhole"
+        self.toggles = {
+            "horizon": True,
+            "up": True,
+            "latitude": False,
+            "confidence": False,
+            "undistort": False,
+            "grid": False,
+            "box": False,
+        }
+
+    def handle_key(self, key: str) -> bool:
+        """Update toggles/camera model; returns True to quit."""
+        if key in self.KEYMAP:
+            name = self.KEYMAP[key]
+            self.toggles[name] = not self.toggles[name]
+        elif key in self.MODELS:
+            self.camera_model = self.MODELS[key]
+        elif key in ("q", "\x1b"):
+            return True
+        return False
+
+    def format_results(self, result) -> str:
+        cam, grav = result["camera"], result["gravity"]
+        text = f"{self.camera_model.replace('_', ' ').title()}\n"
+        text += (
+            f"Roll:  {math.degrees(float(grav.roll)):.2f} "
+            f"(+- {math.degrees(float(result.get('roll_uncertainty', 0.0))):.2f})\n"
+        )
+        text += (
+            f"Pitch: {math.degrees(float(grav.pitch)):.2f} "
+            f"(+- {math.degrees(float(result.get('pitch_uncertainty', 0.0))):.2f})\n"
+        )
+        text += (
+            f"vFoV:  {math.degrees(float(cam.vfov)):.2f} "
+            f"(+- {math.degrees(float(result.get('vfov_uncertainty', 0.0))):.2f})\n"
+        )
+        text += f"Focal: {float(cam.f[1]):.2f} (+- {float(result.get('focal_uncertainty', 0.0)):.2f})"
+        if float(np.abs(np.asarray(cam.k)).max()) > 0:
+            text += f"\nK1:    {float(cam.k[0]):.2f}"
+        return text
+
+    def process_frame(self, rgb: np.ndarray) -> np.ndarray:
+        """Calibrate + render enabled overlays; pure numpy (cv2-free)."""
+        from geocalib_tpu.demo.overlays import render_overlays
+
+        result = self.calibrator.calibrate(rgb, camera_model=self.camera_model)
+        return render_overlays(rgb, result, self.toggles), result
+
+    def run(self) -> None:
+        try:
+            import cv2
+        except ImportError as e:
+            raise RuntimeError(
+                "webcam mode needs opencv-python; use image/directory mode instead"
+            ) from e
+        import time
+
+        cap = cv2.VideoCapture(self.camera_id)
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                print("Error: failed to retrieve frame")
+                break
+            t0 = time.time()
+            rgb = frame[..., ::-1].astype(np.float32) / 255.0
+            out, result = self.process_frame(rgb)
+            bgr = (np.clip(out, 0, 1) * 255).astype(np.uint8)[..., ::-1].copy()
+            for i, line in enumerate(self.format_results(result).split("\n")):
+                cv2.putText(
+                    bgr, line, (8, 20 + 18 * i), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.5, (255, 255, 255), 1,
+                )
+            fps = 1.0 / max(time.time() - t0, 1e-6)
+            cv2.putText(
+                bgr, f"FPS: {fps:04.1f}", (bgr.shape[1] - 110, bgr.shape[0] - 10),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1,
+            )
+            cv2.imshow("geocalib_tpu demo", bgr)
+            key = cv2.waitKey(1) & 0xFF
+            if key != 255 and self.handle_key(chr(key)):
+                break
+        cap.release()
+
+
 def run_webcam(calibrator, camera_id: int = 0) -> None:
     """Live webcam loop when OpenCV is available (reference demo parity)."""
-    try:
-        import cv2
-    except ImportError as e:
-        raise RuntimeError(
-            "webcam mode needs opencv-python; use image/directory mode instead"
-        ) from e
-    cap = cv2.VideoCapture(camera_id)
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        rgb = frame[..., ::-1].astype(np.float32) / 255.0
-        result = calibrator.calibrate(rgb)
-        overlay = annotate(rgb, result)
-        cv2.imshow("geocalib_tpu", overlay[..., ::-1])
-        if cv2.waitKey(1) & 0xFF in (ord("q"), 27):
-            break
-    cap.release()
+    InteractiveDemo(calibrator, camera_id).run()
 
 
 def main():

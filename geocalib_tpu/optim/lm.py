@@ -28,6 +28,7 @@ matching the reference's train-time unrolled backprop through 10 LM steps).
 """
 
 import dataclasses
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -86,6 +87,12 @@ class LMConfig:
     # shard solves the same coupled system (SURVEY §2.6 row 4; reference
     # dense assembly lm_optimizer.py:361-383 is single-device only).
     axis_name: Optional[str] = None
+    # how gradients flow through the solver when training end-to-end:
+    # "unroll" backprops through every LM iteration (reference semantics —
+    # siclib trains through 10 unrolled steps); "ift" applies the implicit
+    # function theorem at the fixed point (one linear solve in the backward,
+    # O(1) memory instead of O(num_steps) — SURVEY §7 step 3).
+    grad_mode: str = "unroll"
 
     @property
     def num_dist(self) -> int:
@@ -471,6 +478,40 @@ def optimize(
     w: int,
     cfg: LMConfig,
 ) -> Tuple[Camera, Gravity, Dict[str, Array]]:
+    """Run the LM loop, then final costs/uncertainty at the optimum.
+
+    grad_mode="unroll" differentiates through every iteration (reference
+    training semantics); grad_mode="ift" runs the loop gradient-free and
+    attaches implicit-function-theorem gradients at the fixed point (one
+    masked Gauss-Newton solve in the backward pass, O(1) memory).
+    """
+    if cfg.grad_mode == "ift":
+        obs_sg = jax.tree.map(jax.lax.stop_gradient, obs)
+        camera, gravity, info = _optimize_loop(obs_sg, camera0, gravity0, h, w, cfg)
+        theta = _ift_theta(obs, camera, gravity, h, w, cfg)
+        camera, gravity = _update_estimate(camera, gravity, theta, cfg)
+    else:
+        camera, gravity, info = _optimize_loop(obs, camera0, gravity0, h, w, cfg)
+
+    # final costs + uncertainty at the optimum
+    r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+    final_cost, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+    info["final_cost"] = final_cost
+    if cfg.with_uncertainty:
+        info.update(
+            estimate_uncertainty(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
+        )
+    return camera, gravity, info
+
+
+def _optimize_loop(
+    obs: Observations,
+    camera0: Camera,
+    gravity0: Gravity,
+    h: int,
+    w: int,
+    cfg: LMConfig,
+) -> Tuple[Camera, Gravity, Dict[str, Array]]:
     """Fixed-length scan over LM iterations with per-lane freezing.
 
     One fused O(N) pass per iteration: the system pass at the current
@@ -555,20 +596,75 @@ def optimize(
         body, state0, jnp.arange(cfg.num_steps, dtype=jnp.float32)
     )
 
-    # final costs + uncertainty at the optimum
-    r_up, r_lat = _residuals(camera, gravity, obs, h, w)
-    final_cost, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
-
     info: Dict[str, Array] = {
         "initial_cost": initial_cost,
-        "final_cost": final_cost,
         "stop_at": jnp.broadcast_to(stop_at, (B,)) if cfg.shared_intrinsics else stop_at,
     }
-    if cfg.with_uncertainty:
-        info.update(
-            estimate_uncertainty(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
-        )
     return camera, gravity, info
+
+
+# ---------------------------------------------------------------------- #
+# implicit-function-theorem gradients at the fixed point
+# ---------------------------------------------------------------------- #
+
+
+def _lm_gradient(theta: Array, obs: Observations, camera: Camera, gravity: Gravity,
+                 h: int, w: int, cfg: LMConfig) -> Array:
+    """Masked robust-cost gradient G(θ; obs) around the converged estimate.
+
+    G = Σ_n ρ'(r²)·conf·J·r is (−½×) the true gradient of the robust cost,
+    so the solver's fixed point satisfies G(θ*, obs) = 0 — the implicit
+    equation the IFT backward differentiates.
+    """
+    cam2, grav2 = _update_estimate(camera, gravity, theta, cfg)
+    r_up, r_lat = _residuals(cam2, grav2, obs, h, w)
+    _, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+    G, _ = build_system(cam2, grav2, r_up, r_lat, w_up, w_lat, h, w, cfg)
+    return G
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ift_theta(obs: Observations, camera: Camera, gravity: Gravity,
+               h: int, w: int, cfg: LMConfig) -> Array:
+    """Zero tangent step carrying IFT gradients ∂θ*/∂obs.
+
+    Forward value is exactly zero (the estimate is already converged), so
+    applying it through _update_estimate is the identity; the custom VJP
+    supplies dθ*/d obs = H⁻¹ ∂G/∂obs (Gauss-Newton H), i.e. one masked
+    P×P solve + one VJP of the gradient field per backward pass instead of
+    backprop through num_steps unrolled iterations.
+    """
+    B = camera.batch_shape[0]
+    return jnp.zeros((B, cfg.num_params), jnp.float32)
+
+
+def _ift_fwd(obs, camera, gravity, h, w, cfg):
+    return _ift_theta(obs, camera, gravity, h, w, cfg), (obs, camera, gravity)
+
+
+def _ift_bwd(h, w, cfg, res, ct):
+    obs, camera, gravity = res
+    B = camera.batch_shape[0]
+    theta0 = jnp.zeros((B, cfg.num_params), jnp.float32)
+
+    # Gauss-Newton ∂G/∂θ ≈ -H at the optimum (H from the masked system)
+    r_up, r_lat = _residuals(camera, gravity, obs, h, w)
+    _, w_up, w_lat = _costs_and_weights(r_up, r_lat, obs, cfg)
+    _, H = build_system(camera, gravity, r_up, r_lat, w_up, w_lat, h, w, cfg)
+    lamb = jnp.zeros((1,) if cfg.shared_intrinsics else (B,), jnp.float32)
+    wvec = _solve_damped(ct, H, lamb, cfg)  # H⁻¹ ctᵀ (eps-regularized)
+
+    # ∂G/∂obs ᵀ (H⁻¹ ct): VJP of the gradient field wrt the observations
+    _, vjp = jax.vjp(
+        lambda o: _lm_gradient(theta0, o, camera, gravity, h, w, cfg), obs
+    )
+    (ct_obs,) = vjp(wvec)
+    zero_cam = jax.tree.map(jnp.zeros_like, camera)
+    zero_grav = jax.tree.map(jnp.zeros_like, gravity)
+    return ct_obs, zero_cam, zero_grav
+
+
+_ift_theta.defvjp(_ift_fwd, _ift_bwd)
 
 
 def estimate_uncertainty(
