@@ -128,12 +128,33 @@ def _loop_batches(dataset: SimpleDataset, overfit: bool, loader=None):
             epoch += 1
 
 
+def _audit_first_batch(net, cfg, state, batch, rng) -> None:
+    """One-off missing-gradient audit (reference train.py:496-505)."""
+    import jax.numpy as jnp_
+
+    from geocalib_tpu.training.debug import audit_gradients
+
+    def loss(p):
+        return loss_and_updates(net, cfg, p, state.batch_stats, batch, rng)[0]
+
+    grads = jax.grad(loss)(state.params)
+    dead = audit_gradients(grads)
+    if dead:
+        print(f"WARNING: {len(dead)} parameters receive zero gradient:")
+        for name in dead[:20]:
+            print(f"  {name}")
+    else:
+        print("gradient audit: every parameter receives gradient")
+    del jnp_
+
+
 def training(
     conf: Dict[str, Any],
     output_dir: str,
     restore: bool = False,
     max_steps: Optional[int] = None,
     overfit: bool = False,
+    audit_grads: bool = False,
 ) -> Dict[str, float]:
     """Run the training loop; returns the last logged scalars."""
     out_dir = Path(output_dir)
@@ -205,6 +226,10 @@ def training(
     for batch in _loop_batches(train_ds, overfit, loader=loader):
         if step >= total:
             break
+        if audit_grads and step == start_step and is_main:
+            _audit_first_batch(
+                net, cfg, state, {k: jnp.asarray(v) for k, v in batch.items()}, rng
+            )
         batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
         rng, step_rng = jax.random.split(rng)
         state, out = step_fn(state, batch, step_rng)
@@ -316,6 +341,17 @@ def main():
         action="store_true",
         help="repeat one batch forever (loss sanity check; reference --overfit)",
     )
+    ap.add_argument(
+        "--detect_anomaly",
+        action="store_true",
+        help="raise on the first NaN/Inf inside jit (reference --detect_anomaly)",
+    )
+    ap.add_argument(
+        "--audit_grads",
+        action="store_true",
+        help="audit zero-gradient parameters on the first step "
+        "(reference missing-grad check, train.py:496-505)",
+    )
     ap.add_argument("--output_root", default="outputs/training")
     ap.add_argument("dotlist", nargs="*", help="a.b=c overrides")
     args = ap.parse_args()
@@ -325,12 +361,20 @@ def main():
     maybe_initialize_distributed()
     conf = merge(default_conf, load_yaml(args.conf) if args.conf else None)
     conf = apply_dotlist(conf, args.dotlist)
-    training(
-        conf,
-        Path(args.output_root) / args.experiment,
-        restore=args.restore,
-        overfit=args.overfit,
-    )
+
+    import contextlib
+
+    from geocalib_tpu.training.debug import detect_anomaly
+
+    ctx = detect_anomaly() if args.detect_anomaly else contextlib.nullcontext()
+    with ctx:
+        training(
+            conf,
+            Path(args.output_root) / args.experiment,
+            restore=args.restore,
+            overfit=args.overfit,
+            audit_grads=args.audit_grads,
+        )
 
 
 if __name__ == "__main__":
