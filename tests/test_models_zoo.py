@@ -1,5 +1,6 @@
 """Model zoo: registry, alt encoders/decoders, DeepCalib, bin encodings."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,13 +14,48 @@ from geocalib_tpu.models.perspective_encoding import (
     encode_bin_latitude,
     encode_up_bin,
 )
-from geocalib_tpu.models.registry import get_model
+from geocalib_tpu.models.registry import build_model, default_conf, get_model
 
 
 def test_registry_resolves():
     assert get_model("networks.geocalib").__name__ == "GeoCalibNet"
     assert get_model("decoders.fpn").__name__ == "FPN"
     assert get_model("encoders.resnet").__name__ == "ResNet"
+
+
+def test_default_conf_merges_dataclass_fields():
+    conf = default_conf(get_model("networks.geocalib"))
+    assert conf["variant"] == "b"
+    assert conf["drop_path_rate"] == 0.0
+    assert "parent" not in conf and "name" not in conf
+
+
+def test_build_model_conf_merge_and_validation():
+    import pytest
+
+    net, params = build_model("networks.geocalib", {"variant": "tiny"})
+    assert net.variant == "tiny"
+    assert net.drop_path_rate == 0.0  # default survives the merge
+    assert params is None  # no weights requested
+    with pytest.raises(ValueError, match="unknown conf keys"):
+        build_model("networks.geocalib", {"not_a_field": 1})
+
+
+def test_build_model_autoloads_weights(tmp_path):
+    from geocalib_tpu.extractor import save_params
+    from geocalib_tpu.models.geocalib_net import GeoCalibNet
+
+    net = GeoCalibNet(variant="b")
+    variables = jax.eval_shape(
+        lambda: net.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 320, 320, 3)))
+    )
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    path = tmp_path / "params.msgpack"
+    save_params(variables, path)
+
+    _, loaded = build_model("networks.geocalib", {"weights": str(path)})
+    assert loaded is not None
+    chex.assert_trees_all_equal_shapes(loaded, variables)
 
 
 def test_alt_encoders_pyramid():
