@@ -38,10 +38,11 @@ B, H, W = 16, 320, 320
 N_ITERS = 10
 
 
-def build_forward(net, cfg):
+def build_forward(net, cfg, fused=True):
     import jax
     import jax.numpy as jnp
 
+    from geocalib_tpu.models.fused_heads import fused_forward
     from geocalib_tpu.optim.lm import run_lm
 
     @jax.jit
@@ -51,7 +52,11 @@ def build_forward(net, cfg):
         # feeds device-resident batches anyway
         image = jax.random.uniform(key, (B, H, W, 3), jnp.float32)
         p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-        fields = net.apply(p, image.astype(jnp.bfloat16))
+        if fused:
+            # both decoder heads as one 128-channel tower (parity-tested)
+            fields = fused_forward(p, image.astype(jnp.bfloat16))
+        else:
+            fields = net.apply(p, image.astype(jnp.bfloat16))
         fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
         res = run_lm(dict(fields), cfg)
         return res.gravity.rp, res.camera.vfov
@@ -99,14 +104,14 @@ def main():
     key = jax.random.PRNGKey(42)
 
     on_tpu = jax.default_backend() != "cpu"
-    path = "pallas" if on_tpu else "xla"
+    path = "pallas+fused" if on_tpu else "xla+fused"
     try:
-        fwd = build_forward(net, LMConfig(use_pallas=on_tpu))
+        fwd = build_forward(net, LMConfig(use_pallas=on_tpu), fused=True)
         dt = time_path(fwd, params, key)
     except Exception:
         traceback.print_exc()
         path = "xla-fallback"
-        fwd = build_forward(net, LMConfig(use_pallas=False))
+        fwd = build_forward(net, LMConfig(use_pallas=False), fused=False)
         dt = time_path(fwd, params, key)
 
     img_per_s = B / dt

@@ -30,10 +30,23 @@ class EvalConf:
     thresholds: tuple = (1.0, 5.0, 10.0)
     compute_dtype: str = "bfloat16"
     variant: str = "b"
+    # run both decoder heads as one 128-channel tower (models/fused_heads.py;
+    # parity-tested, ~1.2x end-to-end). Only applies to the stock GeoCalibNet;
+    # a custom `net` instance falls back to net.apply.
+    fused_heads: bool = True
     # also write per-image prediction groups (fields, confidences, camera/
     # gravity params) to predictions.h5 — feeds CacheLoader + the inspector
     # (parity: siclib/utils/export_predictions.py)
     cache_fields: bool = False
+
+
+def _net_apply_fn(conf: "EvalConf", net: Optional[GeoCalibNet], custom_net: bool):
+    """fields = fn(params, image): fused tower for the stock net, else apply."""
+    if conf.fused_heads and not custom_net:
+        from geocalib_tpu.models.fused_heads import fused_forward
+
+        return lambda p, image: fused_forward(p, image, conf.variant)
+    return net.apply
 
 
 class SimplePipeline:
@@ -41,7 +54,9 @@ class SimplePipeline:
 
     def __init__(self, params, conf: Optional[EvalConf] = None, net: Optional[GeoCalibNet] = None):
         self.conf = conf or EvalConf()
+        custom = net is not None
         self.net = net or GeoCalibNet(variant=self.conf.variant)
+        self._apply = _net_apply_fn(self.conf, self.net, custom)
         self.params = params
         self._predict = None
 
@@ -49,11 +64,12 @@ class SimplePipeline:
         cfg = LMConfig(camera_model=self.conf.camera_model)
         dtype = jnp.dtype(self.conf.compute_dtype)
         with_cache = self.conf.cache_fields  # static at trace time
+        apply_net = self._apply
 
         @jax.jit
         def predict(params, image, gt_params):
             p = jax.tree.map(lambda x: x.astype(dtype), params)
-            fields = self.net.apply(p, image.astype(dtype))
+            fields = apply_net(p, image.astype(dtype))
             fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
             res = run_lm(dict(fields), cfg)
             cam_gt, grav_gt = batch_gt({"gt_params": gt_params}, self.conf.camera_model)
@@ -142,7 +158,9 @@ class BenchmarkPipeline:
 
     def __init__(self, params, conf: Optional[EvalConf] = None, net: Optional[GeoCalibNet] = None):
         self.conf = conf or EvalConf()
+        custom = net is not None
         self.net = net or GeoCalibNet(variant=self.conf.variant)
+        self._apply = _net_apply_fn(self.conf, self.net, custom)
         self.params = params
         self._predict = None
 
@@ -152,11 +170,12 @@ class BenchmarkPipeline:
 
         cfg = LMConfig(camera_model=self.conf.camera_model)
         dtype = jnp.dtype(self.conf.compute_dtype)
+        apply_net = self._apply
 
         @jax.jit
         def predict(params, image, gt_cam, gt_rp, scales, crop_pad):
             p = jax.tree.map(lambda x: x.astype(dtype), params)
-            fields = self.net.apply(p, image.astype(dtype))
+            fields = apply_net(p, image.astype(dtype))
             fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
             res = run_lm(dict(fields), cfg)
 

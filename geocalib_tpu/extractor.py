@@ -37,11 +37,16 @@ class GeoCalib:
         weights: Optional[Union[str, Path]] = None,
         variant: str = "b",
         compute_dtype: str = "bfloat16",
+        fused_heads: bool = True,
         **optimizer_options: Any,
     ):
         """compute_dtype: CNN compute precision ("bfloat16" for the MXU fast
-        path, "float32" for exact parity). The LM solver always runs f32."""
+        path, "float32" for exact parity). The LM solver always runs f32.
+        fused_heads: run both decoder heads as one 128-channel tower
+        (models/fused_heads.py; ~1.2x end-to-end, parity-tested)."""
         self.net = GeoCalibNet(variant=variant)
+        self.variant = variant
+        self.fused_heads = fused_heads
         self.preprocessor = ImagePreprocessor()
         self.optimizer_options = optimizer_options
         self.compute_dtype = jnp.dtype(compute_dtype)
@@ -59,7 +64,12 @@ class GeoCalib:
         @jax.jit
         def forward(params, image, priors):
             p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
-            fields = self.net.apply(p, image.astype(self.compute_dtype))
+            if self.fused_heads:
+                from geocalib_tpu.models.fused_heads import fused_forward
+
+                fields = fused_forward(p, image.astype(self.compute_dtype), self.variant)
+            else:
+                fields = self.net.apply(p, image.astype(self.compute_dtype))
             fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
             data = dict(fields)
             for k in prior_keys:

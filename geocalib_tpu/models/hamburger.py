@@ -36,16 +36,19 @@ class NMF2D(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, train: bool = False, bases: Optional[Array] = None
+    ) -> Array:
         B, N, D = x.shape
         R = self.rank
 
-        if self.has_rng("nmf"):
-            rng = self.make_rng("nmf")
-        else:
-            # deterministic eval: fixed seed → reproducible bases
-            rng = jax.random.PRNGKey(0)
-        bases = jax.random.uniform(rng, (B, D, R), dtype=x.dtype)
+        if bases is None:
+            if self.has_rng("nmf"):
+                rng = self.make_rng("nmf")
+            else:
+                # deterministic eval: fixed seed → reproducible bases
+                rng = jax.random.PRNGKey(0)
+            bases = jax.random.uniform(rng, (B, D, R), dtype=x.dtype)
         bases = bases / (jnp.linalg.norm(bases, axis=1, keepdims=True) + self.eps)
 
         # init coefficients with a softmax attention over bases
