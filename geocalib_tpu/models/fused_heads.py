@@ -80,12 +80,14 @@ def _cat_b(ba: Optional[Array], bb: Optional[Array]) -> Optional[Array]:
 
 
 def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array],
-                      ll: Array) -> Dict[str, Array]:
+                      ll: Array, nmf_kernel: Optional[bool] = None) -> Dict[str, Array]:
     """Run UpDecoder + LatitudeDecoder as one fused tower.
 
     up_params / lat_params: the ``UpDecoder_0`` / ``LatitudeDecoder_0``
     subtrees of the net's params. hl: 4 backbone scales; ll: full-res
-    low-level features. Returns the same dict GeoCalibNet produces.
+    low-level features. nmf_kernel: run the NMF with the Pallas
+    VMEM-resident kernel (ops/nmf_kernel.py); default: on TPU backends when
+    the token shapes tile. Returns the same dict GeoCalibNet produces.
     """
     pu, pl = up_params["LightHamHead_0"], lat_params["LightHamHead_0"]
     dtype = ll.dtype
@@ -117,7 +119,19 @@ def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array]
     hl_ = jax.nn.relu(_conv(xl, k0l, b0l))
     Hh, Wh = hu.shape[1:3]
     stacked = jnp.concatenate([hu, hl_], axis=0).reshape(2 * B, Hh * Wh, ham_ch)
-    recon = NMF2D().apply({}, stacked, bases=bases2).reshape(2 * B, Hh, Wh, ham_ch)
+    if nmf_kernel is None:
+        nmf_kernel = (
+            jax.default_backend() not in ("cpu",)
+            and Hh * Wh % 8 == 0
+            and ham_ch % 128 == 0
+        )
+    if nmf_kernel:
+        from geocalib_tpu.ops.nmf_kernel import nmf_pallas
+
+        recon = nmf_pallas(stacked, bases2, steps=NMF2D().eval_steps)
+    else:
+        recon = NMF2D().apply({}, stacked, bases=bases2)
+    recon = recon.reshape(2 * B, Hh, Wh, ham_ch)
     hu, hl_ = recon[:B], recon[B:]
 
     k1u, b1u = _ck(pu["Hamburger_0"]["ConvModule_1"])
