@@ -73,9 +73,20 @@ class VPEstimator:
 
     def _detect_lines(self, gray: np.ndarray) -> np.ndarray:
         if self.line_type == "lsd":
-            import pytlsd
+            try:
+                import pytlsd
 
-            return pytlsd.lsd(gray.astype(np.float64))[:, :4].reshape(-1, 2, 2)
+                return pytlsd.lsd(gray.astype(np.float64))[:, :4].reshape(-1, 2, 2)
+            except ImportError:
+                # OpenCV's built-in LSD (same von-Gioi algorithm family as
+                # pytlsd); cv2 is already a reference dependency
+                import cv2
+
+                lines = cv2.createLineSegmentDetector().detect(gray)[0]
+                if lines is None:
+                    return np.zeros((0, 2, 2), np.float64)
+                # (N, 4) in cv2>=5, (N, 1, 4) in cv2 4.x
+                return lines.reshape(-1, 4).astype(np.float64).reshape(-1, 2, 2)
         from deeplsd.models.deeplsd_inference import DeepLSD  # noqa: F401
 
         raise NotImplementedError(

@@ -69,3 +69,20 @@ def test_lm_heuristic_init():
     np.testing.assert_allclose(res.camera.vfov, vfov, atol=5e-3)
     # heuristic init must start closer than trivial for tilted cameras
     assert np.all(np.asarray(res.info["initial_cost"]) >= 0)
+
+
+def test_vp_line_detection_cv2_fallback():
+    # the UVP baseline's line detector must work without pytlsd/deeplsd:
+    # cv2's built-in LSD (a reference dependency) backs the "lsd" mode
+    import numpy as np
+
+    from geocalib_tpu.models.baselines import VPEstimator
+
+    det = VPEstimator.__new__(VPEstimator)  # skip the solver-package gate
+    det.line_type = "lsd"
+    img = np.zeros((120, 160), np.uint8)
+    img[40:42, :] = 255
+    img[:, 80:82] = 255
+    lines = det._detect_lines(img)
+    assert lines.ndim == 3 and lines.shape[1:] == (2, 2)
+    assert len(lines) >= 2 and np.isfinite(lines).all()
