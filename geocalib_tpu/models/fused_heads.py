@@ -124,6 +124,9 @@ def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array]
             jax.default_backend() not in ("cpu",)
             and Hh * Wh % 8 == 0
             and ham_ch % 128 == 0
+            # an f32 token block would double the kernel's VMEM residency
+            # past the scoped budget; the kernel targets the bf16 fast path
+            and stacked.dtype == jnp.bfloat16
         )
     if nmf_kernel:
         from geocalib_tpu.ops.nmf_kernel import nmf_pallas

@@ -9,6 +9,7 @@ This proves the mapping (names, layouts, BN stats, eps/GELU conventions) is
 exact, which is everything conversion of the released .tar files needs.
 """
 
+import importlib
 import sys
 import types
 
@@ -29,7 +30,12 @@ def reference_model():
     # stub the visualization-only deps the reference imports at module level
     for mod in ["kornia", "torchvision", "cv2", "matplotlib", "matplotlib.pyplot",
                 "matplotlib.cm"]:
-        sys.modules.setdefault(mod, types.ModuleType(mod))
+        # stub only what is truly absent: an empty placeholder for an
+        # installed module (e.g. cv2) would poison later tests in the run
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            sys.modules.setdefault(mod, types.ModuleType(mod))
     from geocalib.geocalib import GeoCalib as TorchGeoCalib
 
     torch.manual_seed(0)

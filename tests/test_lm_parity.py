@@ -10,6 +10,7 @@ Reference under test: /root/reference/geocalib/lm_optimizer.py:551-644
 (optimize loop), :463-516 (estimate_uncertainty).
 """
 
+import importlib
 import sys
 import types
 
@@ -29,7 +30,12 @@ def reference_path():
     sys.path.insert(0, REF)
     for mod in ["kornia", "torchvision", "cv2", "matplotlib", "matplotlib.pyplot",
                 "matplotlib.cm"]:
-        sys.modules.setdefault(mod, types.ModuleType(mod))
+        # stub only what is truly absent: an empty placeholder for an
+        # installed module (e.g. cv2) would poison later tests in the run
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            sys.modules.setdefault(mod, types.ModuleType(mod))
     yield
     sys.path.remove(REF)
 
