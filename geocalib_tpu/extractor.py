@@ -59,17 +59,44 @@ class GeoCalib:
 
     @functools.lru_cache(maxsize=32)
     def _jitted_forward(self, h: int, w: int, cfg: LMConfig, prior_keys: tuple):
-        """Compile net+solver for a given crop shape / solver config."""
+        """Compile net+solver for a given crop shape / solver config.
+
+        The fused path compiles TWO executables (CNN front / full-res tail
+        + LM): XLA schedules the full-resolution tail ~2x faster as its own
+        program, and the (feats, ll) intermediate never leaves the device.
+        """
+        if self.fused_heads:
+            from geocalib_tpu.models.fused_heads import (
+                fused_front,
+                fused_tail_from_variables,
+            )
+
+            @jax.jit
+            def front(params, image):
+                p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
+                return fused_front(p, image.astype(self.compute_dtype), self.variant)
+
+            @jax.jit
+            def tail(params, feats, ll, priors):
+                p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
+                fields = fused_tail_from_variables(p, feats, ll)
+                fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
+                data = dict(fields)
+                for k in prior_keys:
+                    data[k] = priors[k]
+                res = run_lm(data, cfg)
+                return fields, res
+
+            def forward(params, image, priors):
+                feats, ll = front(params, image)
+                return tail(params, feats, ll, priors)
+
+            return forward
 
         @jax.jit
         def forward(params, image, priors):
             p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
-            if self.fused_heads:
-                from geocalib_tpu.models.fused_heads import fused_forward
-
-                fields = fused_forward(p, image.astype(self.compute_dtype), self.variant)
-            else:
-                fields = self.net.apply(p, image.astype(self.compute_dtype))
+            fields = self.net.apply(p, image.astype(self.compute_dtype))
             fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
             data = dict(fields)
             for k in prior_keys:

@@ -81,16 +81,29 @@ def _cat_b(ba: Optional[Array], bb: Optional[Array]) -> Optional[Array]:
 
 def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array],
                       ll: Array, nmf_kernel: Optional[bool] = None) -> Dict[str, Array]:
-    """Run UpDecoder + LatitudeDecoder as one fused tower.
+    """Run UpDecoder + LatitudeDecoder as one fused tower (single graph).
 
     up_params / lat_params: the ``UpDecoder_0`` / ``LatitudeDecoder_0``
     subtrees of the net's params. hl: 4 backbone scales; ll: full-res
     low-level features. nmf_kernel: run the NMF with the Pallas
     VMEM-resident kernel (ops/nmf_kernel.py); default: on TPU backends when
     the token shapes tile. Returns the same dict GeoCalibNet produces.
+
+    For serving, prefer the two-executable split (`fused_front` +
+    `fused_tail` jitted separately): XLA schedules the full-resolution tail
+    ~2x faster as its own program (measured 41 ms in-graph vs 17.5 ms
+    standalone at batch 16; the split nets 72.5 -> 52 ms end-to-end).
     """
+    feats = _head_front(up_params, lat_params, hl, nmf_kernel)
+    return fused_tail(up_params, lat_params, feats, ll)
+
+
+def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
+                nmf_kernel: Optional[bool] = None) -> Array:
+    """Head stages through the second upsample: returns fused feats
+    (B, H, W, 2*out_ch) at full resolution."""
     pu, pl = up_params["LightHamHead_0"], lat_params["LightHamHead_0"]
-    dtype = ll.dtype
+    dtype = hl[0].dtype
 
     # --- stride-4 aggregation (shared; computed once for both heads)
     target = hl[0].shape[1:3]
@@ -145,7 +158,6 @@ def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array]
     # --- align to out_channels per head, then fuse into one 2x-wide tensor
     kau, bau = _ck(pu["ConvModule_1"])
     kal, bal = _ck(pl["ConvModule_1"])
-    out_ch = kau.shape[3]
     feats = jnp.concatenate(
         [jax.nn.relu(_conv(xu, kau, bau)), jax.nn.relu(_conv(xl, kal, bal))], axis=-1
     )
@@ -155,7 +167,15 @@ def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array]
     k2u, _ = _ck(pu["ConvModule_2"])
     k2l, _ = _ck(pl["ConvModule_2"])
     feats = jax.nn.relu(_conv(feats, _block_diag(k2u, k2l), pad=1))
-    feats = resize_bilinear(feats, (feats.shape[1] * 2, feats.shape[2] * 2))
+    return resize_bilinear(feats, (feats.shape[1] * 2, feats.shape[2] * 2))
+
+
+def fused_tail(up_params: Params, lat_params: Params, feats: Array,
+               ll: Array) -> Dict[str, Array]:
+    """Full-resolution tail: FeatureFusionBlock, uncertainty branch, and the
+    per-head projections, on the fused 2x-wide tensor. Jit this separately
+    from `fused_front` for serving (see fused_heads_apply docstring)."""
+    pu, pl = up_params["LightHamHead_0"], lat_params["LightHamHead_0"]
 
     # FeatureFusionBlock(x=feats, skip=ll), upsample=False (modules.py:122-135)
     # RCU0 on the shared skip: first conv fuses by output-concat
@@ -203,11 +223,17 @@ def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array]
     }
 
 
-def fused_forward(variables: Dict[str, Any], image: Array, variant: str = "b") -> Dict[str, Array]:
-    """Full GeoCalibNet eval forward with the heads fused.
+def fused_front(variables: Dict[str, Any], image: Array, variant: str = "b") -> Tuple[Array, Array]:
+    """Backbone + low-level encoder + head stages through the second
+    upsample. Returns (feats, ll) for `fused_tail`.
 
-    Matches GeoCalibNet(variant).apply(variables, image) (eval mode) while
-    running both decoder heads as one 128-channel tower.
+    Jit `fused_front` and `fused_tail` as SEPARATE executables for serving:
+    compiled monolithically, XLA's schedule for the full-resolution tail is
+    ~2x slower than when the tail is its own program (measured at batch
+    16 @ 320x320: 72.5 ms one-jit vs 52 ms split; the intermediate
+    (feats, ll) stays on device, and pipelined dispatch hides the extra
+    call). The driver/dryrun and CPU paths can keep the one-jit
+    `fused_forward` below.
     """
     dims, ratios, depths = MSCAN_VARIANTS[variant]
     p = variables["params"]
@@ -225,4 +251,23 @@ def fused_forward(variables: Dict[str, Any], image: Array, variant: str = "b") -
     ll = jax.nn.relu(_conv(image, k0, b0, pad=1))
     ll = jax.nn.relu(_conv(ll, k1, b1, pad=1))
 
-    return fused_heads_apply(p["UpDecoder_0"], p["LatitudeDecoder_0"], hl, ll)
+    feats = _head_front(p["UpDecoder_0"], p["LatitudeDecoder_0"], hl)
+    return feats, ll
+
+
+def fused_tail_from_variables(variables: Dict[str, Any], feats: Array, ll: Array) -> Dict[str, Array]:
+    """`fused_tail` addressed by the full variables dict (serving helper)."""
+    p = variables["params"]
+    return fused_tail(p["UpDecoder_0"], p["LatitudeDecoder_0"], feats, ll)
+
+
+def fused_forward(variables: Dict[str, Any], image: Array, variant: str = "b") -> Dict[str, Array]:
+    """Full GeoCalibNet eval forward with the heads fused, as ONE graph.
+
+    Matches GeoCalibNet(variant).apply(variables, image) (eval mode) while
+    running both decoder heads as one 128-channel tower. For peak serving
+    throughput jit `fused_front` / `fused_tail_from_variables` separately
+    instead (see fused_front).
+    """
+    feats, ll = fused_front(variables, image, variant)
+    return fused_tail_from_variables(variables, feats, ll)
