@@ -58,6 +58,21 @@ class GeoCalib:
             )
 
     @functools.lru_cache(maxsize=32)
+    def _jitted_front(self, h: int, w: int):
+        """Compile the heavy CNN front for a crop shape. Cached separately
+        from the solver executable: the front depends only on (h, w) and the
+        instance's variant/dtype, so changing solver config or priors reuses
+        the compiled backbone."""
+        from geocalib_tpu.models.fused_heads import fused_front
+
+        @jax.jit
+        def front(params, image):
+            p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
+            return fused_front(p, image.astype(self.compute_dtype), self.variant)
+
+        return front
+
+    @functools.lru_cache(maxsize=32)
     def _jitted_forward(self, h: int, w: int, cfg: LMConfig, prior_keys: tuple):
         """Compile net+solver for a given crop shape / solver config.
 
@@ -66,15 +81,9 @@ class GeoCalib:
         program, and the (feats, ll) intermediate never leaves the device.
         """
         if self.fused_heads:
-            from geocalib_tpu.models.fused_heads import (
-                fused_front,
-                fused_tail_from_variables,
-            )
+            from geocalib_tpu.models.fused_heads import fused_tail_from_variables
 
-            @jax.jit
-            def front(params, image):
-                p = jax.tree.map(lambda x: x.astype(self.compute_dtype), params)
-                return fused_front(p, image.astype(self.compute_dtype), self.variant)
+            front = self._jitted_front(h, w)
 
             @jax.jit
             def tail(params, feats, ll, priors):

@@ -133,14 +133,24 @@ def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
     Hh, Wh = hu.shape[1:3]
     stacked = jnp.concatenate([hu, hl_], axis=0).reshape(2 * B, Hh * Wh, ham_ch)
     if nmf_kernel is None:
+        # the Pallas NMF kernel uses TPU-only pltpu primitives (CompilerParams,
+        # VMEM scoping) — never auto-enable on GPU/METAL backends
         nmf_kernel = (
-            jax.default_backend() not in ("cpu",)
+            jax.default_backend() == "tpu"
             and Hh * Wh % 8 == 0
             and ham_ch % 128 == 0
             # an f32 token block would double the kernel's VMEM residency
             # past the scoped budget; the kernel targets the bf16 fast path
             and stacked.dtype == jnp.bfloat16
         )
+        if jax.default_backend() == "tpu" and not nmf_kernel:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "NMF Pallas kernel auto-disabled (tokens %dx%d ch %d dtype %s "
+                "outside the bf16/128-multiple fast path); using XLA NMF2D",
+                Hh, Wh, ham_ch, stacked.dtype,
+            )
     if nmf_kernel:
         from geocalib_tpu.ops.nmf_kernel import nmf_pallas
 

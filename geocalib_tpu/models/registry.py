@@ -98,6 +98,15 @@ def build_model(
 
     params = None
     if weights is not None:
+        # load_params deserializes against a GeoCalibNet template; autoloading
+        # weights for any other registered model would mis-load or fail with a
+        # confusing shape error deep in flax.serialization
+        if name != "networks.geocalib":
+            raise ValueError(
+                f"weight autoload is only supported for 'networks.geocalib' "
+                f"(got {name!r}); construct the model and load its params "
+                f"explicitly instead"
+            )
         from pathlib import Path
 
         from geocalib_tpu.extractor import load_params

@@ -708,6 +708,14 @@ def estimate_uncertainty(
     else:
         focal_u = fov_u = zeros
 
+    # NOTE: the /2-outside-sqrt for focal vs /2-inside-sqrt for vfov is an
+    # intentional, verbatim replication of the reference's published formulas
+    # (`torch.sqrt(focal_uncertainty) / 2` vs `torch.sqrt(fov_uncertainty / 2)`,
+    # reference lm_optimizer.py:512-515). The asymmetry is the reference's own
+    # quirk — sigma_focal/2 != sigma_vfov/sqrt(2) under the delta method — but
+    # downstream consumers (eval tables, demo printouts) compare against these
+    # exact values, so we match them bit-for-bit rather than "fix" them.
+    # Pinned exactly by tests/test_lm_parity.py::test_uncertainty_formula_exact.
     return {
         "covariance": Cov,
         "roll_uncertainty": jnp.sqrt(jnp.maximum(roll_u, 0.0)),

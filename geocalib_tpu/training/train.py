@@ -258,6 +258,7 @@ def training(
             val = evaluate(
                 eval_fn, state, val_ds, rng,
                 max_batches=int(t_conf.get("val_batches", 10)),
+                eval_idx=step // int(t_conf["eval_every"]),
             )
             if is_main:
                 writer.add_scalars(val, step, prefix="val/")
@@ -320,11 +321,25 @@ def _log_figures(writer, net, state, val_ds, cfg, step, n: int = 3) -> None:
         print(f"figure logging failed: {e}")
 
 
-def evaluate(eval_fn, state, dataset, rng, max_batches: int = 10) -> Dict[str, float]:
+def evaluate(
+    eval_fn, state, dataset, rng, max_batches: int = 10, eval_idx: int = 0
+) -> Dict[str, float]:
+    """Deterministic validation over a rotating window of the val set.
+
+    Successive calls (eval_idx = 0, 1, ...) cycle through disjoint
+    max_batches-sized windows so `best_key` checkpointing sees the whole val
+    set over time instead of replaying one fixed epoch-0 prefix forever.
+    """
+    n_batches = max(1, len(dataset) // dataset.conf.batch_size)
+    start = (eval_idx * max_batches) % n_batches if n_batches > max_batches else 0
     agg: Dict[str, list] = {}
+    taken = 0
     for i, batch in enumerate(dataset.epoch(epoch=0)):
-        if i >= max_batches:
+        if i < start:
+            continue
+        if taken >= max_batches:
             break
+        taken += 1
         out = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
         for k, v in out.items():
             agg.setdefault(k, []).append(float(v))
