@@ -93,7 +93,11 @@ def create_train_state(
         drop_path_rate=cfg.drop_path_rate,
         bn_axis_name=DATA_AXIS,
     )
-    variables = net.init({"params": rng}, jnp.zeros(input_shape, jnp.float32))
+    # jit the init: unjitted flax init dispatches each op eagerly, which is
+    # minutes of round-trips through the remote-TPU relay
+    variables = jax.jit(net.init)(
+        {"params": rng}, jnp.zeros(input_shape, jnp.float32)
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = make_optimizer(cfg).init(params)

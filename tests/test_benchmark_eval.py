@@ -165,3 +165,121 @@ def test_undo_recovers_original_camera(fixture_dir):
         )
         checked += int(valid.sum())
     assert checked == len(SIZES)
+
+
+# --------------------------------------------------------------------- #
+# megadepth2k_radial protocol: k1 != 0 GT, simple_radial eval camera
+# (reference siclib/eval/megadepth2k_radial.py:62-71) — exercises the
+# pixel projection/distortion recall branch (eval/metrics.py:78-87) and
+# the k1 undo path end-to-end in original pixel space.
+# --------------------------------------------------------------------- #
+
+RADIAL_SIZES = [(480, 640), (640, 480), (540, 720), (480, 640)]
+
+
+@pytest.fixture(scope="module")
+def radial_fixture_dir(tmp_path_factory):
+    from geocalib_tpu.utils.image import write_image
+
+    root = tmp_path_factory.mktemp("megadepth2k_radial_fixture")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, (h, w) in enumerate(RADIAL_SIZES):
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        name = f"rad_{i}.jpg"
+        write_image(img, root / "images" / name)
+        rows.append(
+            {
+                "fname": name,
+                "height": h,
+                "width": w,
+                "vfov": rng.uniform(0.7, 1.2),
+                "roll": rng.uniform(-0.4, 0.4),
+                "pitch": rng.uniform(-0.4, 0.4),
+                "k1": rng.uniform(-0.15, -0.02),  # real radial GT
+                "k2": 0.0,
+            }
+        )
+    with open(root / "images.csv", "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        writer.writeheader()
+        writer.writerows(rows)
+    return root
+
+
+def test_radial_pipeline_k1_metrics(radial_fixture_dir):
+    """The radial eval protocol produces k1 + projection/distortion recalls."""
+    from geocalib_tpu.eval.pipeline import evaluate_real_benchmark
+    from geocalib_tpu.models import GeoCalibNet
+
+    net = GeoCalibNet(variant="tiny")
+    params = jax.jit(net.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3))
+    )
+    out = evaluate_real_benchmark(
+        params,
+        str(radial_fixture_dir),
+        camera_model="simple_radial",
+        experiment_dir=str(radial_fixture_dir / "results"),
+        resize=64,
+        batch_size=2,
+        variant="tiny",
+        compute_dtype="float32",
+    )
+    assert "mean_k1_error" in out, sorted(out)
+    assert any(k.startswith("mean_pixel_projection_error@") for k in out), sorted(out)
+    assert any(k.startswith("mean_pixel_distortion_error@") for k in out), sorted(out)
+    assert (radial_fixture_dir / "results" / "summaries.json").exists()
+
+
+def test_radial_undo_recovers_k1_camera(radial_fixture_dir):
+    """LM (simple_radial) on GT fields in model space + undo == CSV camera,
+    including k1 and near-perfect pixel projection recall."""
+    from geocalib_tpu.eval.metrics import camera_metrics
+    from geocalib_tpu.geometry.camera import Camera
+    from geocalib_tpu.geometry.gravity import Gravity
+    from geocalib_tpu.geometry.perspective_fields import get_perspective_field
+    from geocalib_tpu.optim.lm import LMConfig, run_lm
+
+    ds = BenchmarkDataset(
+        BenchmarkDataConf(dataset_dir=str(radial_fixture_dir), batch_size=2, resize=64)
+    )
+    cfg = LMConfig(camera_model="simple_radial", num_steps=25)
+    checked = 0
+    for batch in ds.batches():
+        cam_orig = Camera.from_data(
+            jnp.asarray(batch["gt_cam"]), model="simple_radial"
+        )
+        grav = Gravity.from_rp(
+            jnp.asarray(batch["gt_rp"][:, 0]), jnp.asarray(batch["gt_rp"][:, 1])
+        )
+        cam_scaled = cam_orig.scale(jnp.asarray(batch["scales"])).crop(
+            jnp.asarray(batch["crop_pad"])
+        )
+        h, w = batch["image"].shape[1:3]
+        up, lat = get_perspective_field(cam_scaled, grav, h, w)
+        res = run_lm({"up_field": up, "latitude_field": lat}, cfg)
+        cam_back = res.camera.undo_scale_crop(
+            {
+                "scales": jnp.asarray(batch["scales"]),
+                "crop_pad": jnp.asarray(batch["crop_pad"]),
+            }
+        )
+        valid = batch["valid"]
+        np.testing.assert_allclose(
+            np.asarray(cam_back.vfov)[valid],
+            np.asarray(cam_orig.vfov)[valid],
+            atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cam_back.k[..., 0])[valid],
+            np.asarray(cam_orig.k[..., 0])[valid],
+            atol=2e-2,
+        )
+        # pixel projection/distortion recall branch, original pixel space
+        mets = camera_metrics(cam_back, cam_orig)
+        assert float(mets["pixel_projection_error@3"][valid].min()) > 0.9
+        assert float(mets["pixel_distortion_error@3"][valid].min()) > 0.9
+        checked += int(valid.sum())
+    assert checked == len(RADIAL_SIZES)
