@@ -105,6 +105,95 @@ def time_path(fwd, params, key):
     return (time.time() - t0) / N_ITERS
 
 
+def check_kernel_parity(cfg_kernel, cfg_xla):
+    """On-chip Pallas-vs-XLA LM parity: a silent kernel fallback (or a
+    kernel bug) must never masquerade as a kernel number (VERDICT r2 #7).
+
+    Returns the max |roll/pitch/vfov| deviation between the Pallas-kernel LM
+    and the pure-XLA LM on one synthetic batch, computed on the device the
+    bench runs on. Raises if they disagree beyond float tolerance.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from geocalib_tpu.optim.lm import run_lm
+
+    @jax.jit
+    def both(key):
+        up = jax.random.uniform(key, (4, 64, 64, 2), jnp.float32) - 0.5
+        lat = jax.random.uniform(jax.random.fold_in(key, 1), (4, 64, 64, 1), jnp.float32) - 0.5
+        data = {"up_field": up, "latitude_field": lat}
+        a = run_lm(dict(data), cfg_kernel)
+        b = run_lm(dict(data), cfg_xla)
+        return (
+            jnp.max(jnp.abs(a.gravity.rp - b.gravity.rp)),
+            jnp.max(jnp.abs(a.camera.vfov - b.camera.vfov)),
+        )
+
+    rp_diff, vfov_diff = (float(np.asarray(x)) for x in both(jax.random.PRNGKey(7)))
+    assert rp_diff < 5e-4 and vfov_diff < 5e-4, (
+        f"Pallas LM kernel diverges from XLA path on-chip: "
+        f"rp {rp_diff:.2e}, vfov {vfov_diff:.2e}"
+    )
+    return max(rp_diff, vfov_diff)
+
+
+def bench_train_step():
+    """images/s of the jitted bf16 sharded train step at batch 24 @ 320^2
+    (forward + backward through 10 LM steps + AdamW), on-device batch."""
+    import jax
+
+    from geocalib_tpu.parallel.mesh import make_mesh, shard_batch
+    from geocalib_tpu.training.train_step import (
+        TrainConfig,
+        create_train_state,
+        make_sharded_train_step,
+    )
+    import __graft_entry__ as ge
+
+    Bt = 24
+    cfg = TrainConfig()
+    net, state = create_train_state(jax.random.PRNGKey(0), cfg, (1, H, W, 3))
+    mesh = make_mesh()
+    batch = shard_batch(ge._synthetic_batch(Bt, H, W), mesh)
+    step_fn = make_sharded_train_step(net, cfg, mesh)
+
+    state, out = step_fn(state, batch, jax.random.PRNGKey(1))
+    float(out["loss/total"])  # compile + first exec (host fetch = true sync)
+    n = 3
+    t0 = time.time()
+    for i in range(n):
+        state, out = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+    float(out["loss/total"])
+    return Bt / ((time.time() - t0) / n)
+
+
+def bench_loader():
+    """Host-side PrefetchLoader rate (images/s) on the generated dataset —
+    proves the input pipeline out-runs the train step (VERDICT r2 #2)."""
+    ds_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "openpano_synth"
+    )
+    if not os.path.exists(os.path.join(ds_dir, "train.csv")):
+        return None
+    from geocalib_tpu.data.dataset import DatasetConf, PrefetchLoader, SimpleDataset
+
+    ds = SimpleDataset(
+        DatasetConf(dataset_dir=ds_dir, csv_name="train.csv", batch_size=24,
+                    augmentation="geocalib")
+    )
+    loader = PrefetchLoader(ds)
+    n_batches, seen = 12, 0
+    it = loader.epoch(epoch=0)
+    next(it)  # warm the workers before the clock starts
+    t0 = time.time()
+    for i, batch in enumerate(it):
+        if i >= n_batches:
+            break
+        seen += len(batch["image"])
+    return seen / (time.time() - t0)
+
+
 def main():
     import jax
 
@@ -126,7 +215,12 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     path = "pallas+fused" if on_tpu else "xla+fused"
+    kernel_parity = None
     try:
+        if on_tpu:
+            kernel_parity = check_kernel_parity(
+                LMConfig(use_pallas=True), LMConfig(use_pallas=False)
+            )
         fwd = build_forward(net, LMConfig(use_pallas=on_tpu), fused=True)
         dt = time_path(fwd, params, key)
     except Exception:
@@ -135,19 +229,33 @@ def main():
         fwd = build_forward(net, LMConfig(use_pallas=False), fused=False)
         dt = time_path(fwd, params, key)
 
+    train_img_per_s = None
+    try:
+        train_img_per_s = bench_train_step()
+    except Exception:
+        traceback.print_exc()
+    loader_img_per_s = None
+    try:
+        loader_img_per_s = bench_loader()
+    except Exception:
+        traceback.print_exc()
+
     img_per_s = B / dt
-    print(
-        json.dumps(
-            {
-                "metric": "calibrate_images_per_s",
-                "value": round(img_per_s, 2),
-                "unit": "images/s",
-                "vs_baseline": round(img_per_s / REFERENCE_CPU_IMG_PER_S, 2),
-                "lm_path": path,
-                "batch": B,
-            }
-        )
-    )
+    record = {
+        "metric": "calibrate_images_per_s",
+        "value": round(img_per_s, 2),
+        "unit": "images/s",
+        "vs_baseline": round(img_per_s / REFERENCE_CPU_IMG_PER_S, 2),
+        "lm_path": path,
+        "batch": B,
+    }
+    if kernel_parity is not None:
+        record["kernel_parity_max_dev"] = float(f"{kernel_parity:.2e}")
+    if train_img_per_s is not None:
+        record["train_images_per_s"] = round(train_img_per_s, 2)
+    if loader_img_per_s is not None:
+        record["loader_images_per_s"] = round(loader_img_per_s, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
