@@ -17,8 +17,14 @@ from geocalib_tpu.utils.config import save_yaml
 
 
 def _ckpt_dirs(experiment_dir: Path):
+    """Numbered checkpoints only (checkpoint_best is excluded from
+    retention/latest, like the reference's best-copy, experiments.py:30-50)."""
     return sorted(
-        (d for d in experiment_dir.glob("checkpoint_*") if d.is_dir()),
+        (
+            d
+            for d in experiment_dir.glob("checkpoint_*")
+            if d.is_dir() and d.name.split("_")[-1].isdigit()
+        ),
         key=lambda d: int(d.name.split("_")[-1]),
     )
 

@@ -87,12 +87,13 @@ def make_train_config(conf: Dict[str, Any]) -> TrainConfig:
 
 
 def make_eval_step(net, cfg: TrainConfig):
-    """Jitted validation: loss/metrics without parameter updates."""
+    """Jitted validation in inference mode (BN running stats, no dropout —
+    the reference's model.eval() under do_evaluation, train.py:568-618)."""
 
     @jax.jit
     def eval_step(state, batch, rng):
         _, (_, losses, metrics) = loss_and_updates(
-            net, cfg, state.params, state.batch_stats, batch, rng
+            net, cfg, state.params, state.batch_stats, batch, rng, train=False
         )
         out = {f"loss/{k}": v.mean() for k, v in losses.items()}
         out |= {f"metric/{k}": v.mean() for k, v in metrics.items()}
@@ -155,8 +156,16 @@ def training(
     max_steps: Optional[int] = None,
     overfit: bool = False,
     audit_grads: bool = False,
+    staged: bool = False,
 ) -> Dict[str, float]:
-    """Run the training loop; returns the last logged scalars."""
+    """Run the training loop; returns the last logged scalars.
+
+    staged=True uploads the whole dataset to HBM once and assembles every
+    batch on device (training/device_store.py) — the mode for the
+    remote-TPU relay, where per-step host transfers would starve the chip.
+    """
+    if staged:
+        return _staged_training(conf, output_dir, restore, max_steps)
     out_dir = Path(output_dir)
     is_main = jax.process_index() == 0
     writer = SummaryWriter(out_dir / "logs") if is_main else None
@@ -295,6 +304,112 @@ def training(
     return scalars
 
 
+def _staged_training(
+    conf: Dict[str, Any],
+    output_dir: str,
+    restore: bool = False,
+    max_steps: Optional[int] = None,
+) -> Dict[str, float]:
+    """Device-staged training loop: zero per-step host->device image traffic.
+
+    Same schedule/logging/checkpointing as `training()`, but batches are
+    sampled + augmented on-chip from a staged `DeviceStore`
+    (training/device_store.py). Single-process only — multi-host runs use
+    the host-loader path, which already shards rows per process.
+    """
+    from geocalib_tpu.training.device_store import (
+        DeviceStore,
+        make_staged_eval_step,
+        make_staged_train_step,
+        staged_evaluate,
+    )
+
+    assert jax.process_count() == 1, "staged mode is single-process"
+    out_dir = Path(output_dir)
+    writer = SummaryWriter(out_dir / "logs")
+    save_yaml(conf, out_dir / "config.yaml")
+
+    cfg = make_train_config(conf)
+    dconf = conf["data"]
+    size = int(conf["train"]["input_size"])
+    global_batch = int(dconf["batch_size"])
+    mesh = make_mesh()
+    net, state = create_train_state(
+        jax.random.PRNGKey(conf["seed"]), cfg, (1, size, size, 3)
+    )
+    manager = ExperimentManager(out_dir)
+    start_step = 0
+    if restore and manager.latest_step() is not None:
+        state, start_step = manager.restore(state)
+        from geocalib_tpu.parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
+        print(f"restored checkpoint at step {start_step}")
+
+    mk_ds = lambda csv, aug: SimpleDataset(
+        DatasetConf(
+            dataset_dir=dconf["dataset_dir"],
+            csv_name=csv,
+            batch_size=global_batch,
+            augmentation=aug,
+            camera_model=dconf.get("camera_model", cfg.camera_model),
+        )
+    )
+    # host-side decode only; augmentation happens on device
+    store = DeviceStore.stage(mk_ds("train.csv", "identity"))
+    val_store = DeviceStore.stage(mk_ds("val.csv", "identity"))
+
+    augment = dconf.get("augmentation", "geocalib") != "identity"
+    step_fn = make_staged_train_step(net, cfg, mesh, global_batch, augment=augment)
+    eval_fn = make_staged_eval_step(net, cfg, global_batch)
+
+    t_conf = conf["train"]
+    total = min(int(t_conf["total_steps"]), max_steps or 10**12)
+    best = float("inf")
+    rng = jax.random.PRNGKey(conf["seed"] + 1)
+    scalars: Dict[str, float] = {}
+    t0 = time.time()
+    for step in range(start_step, total):
+        rng, step_rng = jax.random.split(rng)
+        state, out = step_fn(state, store.images, store.gt_params, step_rng)
+
+        if step % int(t_conf["log_every"]) == 0:
+            scalars = {k: float(v) for k, v in jax.device_get(out).items()}
+            rate = (
+                global_batch * int(t_conf["log_every"]) / (time.time() - t0)
+                if step > start_step
+                else 0.0
+            )
+            t0 = time.time()
+            writer.add_scalars(scalars | {"images_per_s": rate}, step)
+            print(
+                f"[{step}/{total}] loss {scalars.get('loss/total', np.nan):.4f} "
+                f"param {scalars.get('loss/param_total', np.nan):.4f} "
+                f"({rate:.1f} img/s)",
+                flush=True,
+            )
+
+        if step > start_step and step % int(t_conf["eval_every"]) == 0:
+            val = staged_evaluate(
+                eval_fn, state, val_store, rng, global_batch,
+                max_batches=int(t_conf.get("val_batches", 10)),
+                eval_idx=step // int(t_conf["eval_every"]),
+            )
+            writer.add_scalars(val, step, prefix="val/")
+            key = t_conf["best_key"]
+            print(f"[{step}] val {key} = {val.get(key, np.nan):.4f}", flush=True)
+            if val.get(key, float("inf")) < best:
+                best = val[key]
+                manager.save(state, step, conf, val, is_best=True)
+
+        if step > start_step and step % int(t_conf["save_every"]) == 0:
+            manager.save(state, step, conf)
+
+    manager.save(state, total, conf, scalars)
+    writer.close()
+    return scalars
+
+
 def _log_figures(writer, net, state, val_ds, cfg, step, n: int = 3) -> None:
     """Up/latitude comparison figures for the first val batch (reference
     writes figures from visualize_batch each eval, train.py:552-566)."""
@@ -343,6 +458,8 @@ def evaluate(
         out = eval_fn(state, {k: jnp.asarray(v) for k, v in batch.items()}, rng)
         for k, v in out.items():
             agg.setdefault(k, []).append(float(v))
+    if not agg:
+        print("WARNING: val split smaller than one batch; no val metrics computed")
     return {k: float(np.mean(v)) for k, v in agg.items()}
 
 
@@ -355,6 +472,12 @@ def main():
         "--overfit",
         action="store_true",
         help="repeat one batch forever (loss sanity check; reference --overfit)",
+    )
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="stage the whole dataset into device memory once and assemble "
+        "batches on-chip (for hosts with slow device links)",
     )
     ap.add_argument(
         "--detect_anomaly",
@@ -389,6 +512,7 @@ def main():
             restore=args.restore,
             overfit=args.overfit,
             audit_grads=args.audit_grads,
+            staged=args.staged,
         )
 
 

@@ -109,8 +109,16 @@ def create_train_state(
     )
 
 
-def loss_and_updates(net: GeoCalibNet, cfg: TrainConfig, params, batch_stats, batch, rng):
+def loss_and_updates(
+    net: GeoCalibNet, cfg: TrainConfig, params, batch_stats, batch, rng,
+    train: bool = True,
+):
     """Forward (net + differentiable LM) and training losses.
+
+    train=False evaluates in inference mode (BN running stats, no dropout,
+    deterministic NMF — the reference's model.eval() during validation,
+    siclib/train.py:568-618) and leaves batch_stats untouched; it is safe
+    outside shard_map because no cross-device BN sync is traced.
 
     batch: image (B,H,W,3), up_field (B,H,W,2), latitude_field (B,H,W,1),
     camera (Camera GT), gravity (Gravity GT). A raw loader batch with only
@@ -127,13 +135,22 @@ def loss_and_updates(net: GeoCalibNet, cfg: TrainConfig, params, batch_stats, ba
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
     )
-    fields, mutated = net.apply(
-        {"params": cast(params), "batch_stats": batch_stats},
-        batch["image"].astype(dtype),
-        train=True,
-        rngs={"dropout": d_rng, "nmf": n_rng},
-        mutable=["batch_stats"],
-    )
+    if train:
+        fields, mutated = net.apply(
+            {"params": cast(params), "batch_stats": batch_stats},
+            batch["image"].astype(dtype),
+            train=True,
+            rngs={"dropout": d_rng, "nmf": n_rng},
+            mutable=["batch_stats"],
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        fields = net.apply(
+            {"params": cast(params), "batch_stats": batch_stats},
+            batch["image"].astype(dtype),
+            train=False,
+        )
+        new_stats = batch_stats
     # solver + losses stay f32 (SURVEY §7: keep solver math in f32)
     fields = {k: v.astype(jnp.float32) for k, v in fields.items()}
     res = run_lm(dict(fields), cfg.lm_config())
@@ -143,7 +160,7 @@ def loss_and_updates(net: GeoCalibNet, cfg: TrainConfig, params, batch_stats, ba
     metrics = geocalib_metrics(
         fields, res.camera, res.gravity, batch, batch["camera"], batch["gravity"]
     )
-    return losses["total"].mean(), (mutated["batch_stats"], losses, metrics)
+    return losses["total"].mean(), (new_stats, losses, metrics)
 
 
 def train_step(net: GeoCalibNet, cfg: TrainConfig, state: TrainState, batch, rng):
