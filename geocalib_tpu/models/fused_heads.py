@@ -233,7 +233,12 @@ def fused_tail(up_params: Params, lat_params: Params, feats: Array,
     }
 
 
-def fused_front(variables: Dict[str, Any], image: Array, variant: str = "b") -> Tuple[Array, Array]:
+def fused_front(
+    variables: Dict[str, Any],
+    image: Array,
+    variant: str = "b",
+    mscan_kernel: Optional[bool] = None,
+) -> Tuple[Array, Array]:
     """Backbone + low-level encoder + head stages through the second
     upsample. Returns (feats, ll) for `fused_tail`.
 
@@ -249,10 +254,21 @@ def fused_front(variables: Dict[str, Any], image: Array, variant: str = "b") -> 
     p = variables["params"]
     bs = variables.get("batch_stats", {})
 
-    mscan = MSCAN(embed_dims=dims, mlp_ratios=ratios, depths=depths)
-    hl = mscan.apply(
-        {"params": p["MSCAN_0"], "batch_stats": bs["MSCAN_0"]}, image
-    )
+    if mscan_kernel is None:
+        # fused-block Pallas path uses TPU-only lowering; default off until
+        # it beats the XLA backbone on-chip (see tools/profile_mscan_kernel)
+        mscan_kernel = False
+    if mscan_kernel:
+        from geocalib_tpu.ops.mscan_block_kernel import mscan_forward_pallas
+
+        hl = mscan_forward_pallas(
+            p["MSCAN_0"], bs["MSCAN_0"], image, MSCAN_VARIANTS[variant]
+        )
+    else:
+        mscan = MSCAN(embed_dims=dims, mlp_ratios=ratios, depths=depths)
+        hl = mscan.apply(
+            {"params": p["MSCAN_0"], "batch_stats": bs["MSCAN_0"]}, image
+        )
 
     # LowLevelEncoder = two ConvModules at full res (geocalib_net.py:22-33)
     pll = p["LowLevelEncoder_0"]
