@@ -40,6 +40,14 @@ class TrainConfig:
     total_steps: int = 150_000
     camera_model: str = "pinhole"
     lm_steps: int = 10
+    # "unroll" = reference training semantics (backprop through all LM
+    # iterations, siclib trains this way); "ift" = implicit-function theorem
+    # at the fixed point — one adjoint solve instead of 10 unrolled Cholesky
+    # backwards. The unrolled backward is numerically fragile in early
+    # training (ill-conditioned normal equations produced grad norms up to
+    # 1e9 and then permanent NaN on the TPU run this round); ift is the
+    # stable default.
+    lm_grad_mode: str = "ift"
     variant: str = "b"
     drop_path_rate: float = 0.1
     # mixed precision: CNN forward/backward in this dtype, LM solver, losses,
@@ -56,6 +64,7 @@ class TrainConfig:
             loss_fn="squared",
             early_stop=False,
             with_uncertainty=False,
+            grad_mode=self.lm_grad_mode,
         )
 
 
@@ -78,7 +87,12 @@ def make_schedule(cfg: TrainConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # zero_nans BEFORE the global-norm clip: one non-finite leaf otherwise
+    # poisons the global norm and with it every parameter's update. The
+    # cross-chip NaN-skip vote in train_step remains the backstop for a
+    # fully non-finite loss.
     return optax.chain(
+        optax.zero_nans(),
         optax.clip_by_global_norm(cfg.clip_grad),
         optax.adamw(make_schedule(cfg), weight_decay=cfg.weight_decay),
     )
@@ -180,11 +194,16 @@ def train_step(net: GeoCalibNet, cfg: TrainConfig, state: TrainState, batch, rng
     grads = jax.lax.pmean(grads, DATA_AXIS)
     loss = jax.lax.pmean(loss, DATA_AXIS)
 
-    # cross-chip NaN vote: skip the update everywhere if any chip is non-finite
-    finite = jnp.isfinite(loss) & jnp.all(
+    # cross-chip NaN vote on the LOSS: a non-finite loss means corrupted
+    # activations/stats, so the whole update is skipped everywhere
+    # (reference all_reduce NaN skip, train.py:672-680). Non-finite gradient
+    # LEAVES alone do not skip: optax.zero_nans() drops them so the finite
+    # leaves keep training (the unrolled-LM backward can spike or NaN on
+    # ill-conditioned batches without stalling the run).
+    grad_finite = jnp.all(
         jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
     )
-    finite = jax.lax.pmin(finite.astype(jnp.float32), DATA_AXIS) > 0.5
+    finite = jax.lax.pmin(jnp.isfinite(loss).astype(jnp.float32), DATA_AXIS) > 0.5
 
     updates, new_opt = make_optimizer(cfg).update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -203,6 +222,7 @@ def train_step(net: GeoCalibNet, cfg: TrainConfig, state: TrainState, batch, rng
         f"metric/{k}": jax.lax.pmean(v.mean(), DATA_AXIS) for k, v in metrics.items()
     }
     scalars["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+    scalars["grad_nonfinite"] = 1.0 - grad_finite.astype(jnp.float32)
     scalars["grad_norm"] = optax.global_norm(grads)  # post-pmean, pre-clip
     return state, scalars
 
