@@ -26,7 +26,12 @@ from geocalib_tpu.geometry.manifolds import SphericalManifold
 
 
 def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    # clamp INSIDE the sqrt: jnp.linalg.norm has a NaN vjp at v == 0, and
+    # the projected up vector is exactly 0 at the principal point when the
+    # camera looks straight along gravity — training differentiates through
+    # this via the LM residuals (IFT/unroll), so the vjp must stay finite
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def get_up_field_flat(

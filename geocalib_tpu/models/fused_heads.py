@@ -222,9 +222,12 @@ def fused_tail(up_params: Params, lat_params: Params, feats: Array,
     proj = _conv(feats, _block_diag(kpu, kpl), _cat_b(bpu, bpl))
 
     up = proj[..., :2]
-    up = up / jnp.maximum(jnp.linalg.norm(up, axis=-1, keepdims=True), 1e-12)
-    eps = 1e-5  # matches geocalib_net.LatitudeDecoder
-    lat = jnp.arcsin(jnp.clip(jnp.tanh(proj[..., 2:3]), -1 + eps, 1 - eps))
+    # safe normalize (matches geocalib_net.UpDecoder): clamp inside the sqrt
+    up = up / jnp.sqrt(jnp.maximum(jnp.sum(up * up, axis=-1, keepdims=True), 1e-24))
+    eps = 1e-5  # matches geocalib_net.LatitudeDecoder (f32: bf16 rounds
+    # 1 - 1e-5 to 1.0, making the clip a no-op)
+    lat32 = jnp.tanh(proj[..., 2:3].astype(jnp.float32))
+    lat = jnp.arcsin(jnp.clip(lat32, -1 + eps, 1 - eps)).astype(proj.dtype)
     return {
         "up_field": up,
         "up_confidence": jax.nn.sigmoid(log_conf[..., 0]),

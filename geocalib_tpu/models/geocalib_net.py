@@ -46,7 +46,12 @@ class UpDecoder(nn.Module):
             hl, ll, train=train
         )
         up = nn.Conv(2, (1, 1))(feats)
-        up = up / jnp.maximum(jnp.linalg.norm(up, axis=-1, keepdims=True), 1e-12)
+        # safe normalize: clamp INSIDE the sqrt. jnp.linalg.norm has a NaN
+        # vjp at exactly-zero vectors (0/0), and bf16 conv outputs do hit
+        # exact zeros — one such pixel NaN-poisons the gradients of every
+        # upstream parameter (observed as a full training stall on TPU).
+        sq = jnp.sum(up * up, axis=-1, keepdims=True)
+        up = up / jnp.sqrt(jnp.maximum(sq, 1e-24))
         return {"up_field": up, "up_confidence": nn.sigmoid(log_conf)}
 
 
@@ -62,9 +67,14 @@ class LatitudeDecoder(nn.Module):
         feats, log_conf = LightHamHead(self.out_channels, self.ham_channels)(
             hl, ll, train=train
         )
-        eps = 1e-5  # avoid NaN in asin backward at ±1
-        lat = jnp.tanh(nn.Conv(1, (1, 1))(feats))
-        lat = jnp.arcsin(jnp.clip(lat, -1 + eps, 1 - eps))
+        eps = 1e-5  # avoid inf in asin backward at ±1
+        # tanh/clip/asin MUST run in f32: in bf16, 1 - 1e-5 rounds to exactly
+        # 1.0, the clip becomes a no-op, and asin'(±1) = inf — one saturated
+        # pixel then NaN-poisons the gradients of the whole shared trunk
+        # (observed as a full on-chip training stall).
+        pre = nn.Conv(1, (1, 1))(feats)
+        lat = jnp.tanh(pre.astype(jnp.float32))
+        lat = jnp.arcsin(jnp.clip(lat, -1 + eps, 1 - eps)).astype(pre.dtype)
         return {"latitude_field": lat, "latitude_confidence": nn.sigmoid(log_conf)}
 
 
