@@ -25,10 +25,15 @@ THRESH = (1, 5, 10)
 
 
 def auc_row(summary):
+    """AUC cells as percentages (the repo's compute_auc returns fractions;
+    the reference README quotes x100 values)."""
     cells = []
     for m in METRICS:
         cells.append(
-            " / ".join(f"{summary.get(f'auc_{m}@{t}', float('nan')):.1f}" for t in THRESH)
+            " / ".join(
+                f"{100 * summary.get(f'auc_{m}@{t}', float('nan')):.1f}"
+                for t in THRESH
+            )
         )
     return cells
 
@@ -46,9 +51,16 @@ def main():
     ap.add_argument("--out_md", default="ACCURACY.md")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument(
+        "--merge_json", default=None,
+        help="existing accuracy_table.json whose rows are reused for any "
+        "method not in --methods (e.g. precomputed baselines)",
+    )
     args = ap.parse_args()
 
     results = {}
+    if args.merge_json and Path(args.merge_json).exists():
+        results.update(json.loads(Path(args.merge_json).read_text()))
     for method in args.methods.split(","):
         method = method.strip()
         if method == "geocalib":
@@ -94,8 +106,9 @@ def main():
         "trivial": "Trivial init (r=p=0, f=0.7·max(h,w))",
         "heuristic": "Heuristic init",
     }
-    for method, summary in results.items():
-        cells = auc_row(summary)
+    order = ["geocalib", "uvp", "heuristic", "trivial"]
+    for method in sorted(results, key=lambda m: order.index(m) if m in order else 99):
+        cells = auc_row(results[method])
         lines.append(f"| {display.get(method, method)} | " + " | ".join(cells) + " |")
     lines.append("")
     Path(args.out_md).write_text("\n".join(lines))
