@@ -158,9 +158,13 @@ def bench_train_step():
     batch = shard_batch(ge._synthetic_batch(Bt, H, W), mesh)
     step_fn = make_sharded_train_step(net, cfg, mesh)
 
-    state, out = step_fn(state, batch, jax.random.PRNGKey(1))
-    float(out["loss/total"])  # compile + first exec (host fetch = true sync)
-    n = 3
+    # compile + TWO warm steps: through the remote relay the first post-
+    # compile dispatch drains a multi-second queue (measured 20 s once) and
+    # must not land in the timed window
+    for i in range(3):
+        state, out = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        float(out["loss/total"])  # host fetch = true sync
+    n = 5
     t0 = time.time()
     for i in range(n):
         state, out = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
