@@ -79,6 +79,32 @@ def _cat_b(ba: Optional[Array], bb: Optional[Array]) -> Optional[Array]:
     return jnp.concatenate([ba, bb])
 
 
+# Per-head convs on the two halves of the fused 128-wide tensor: grouped
+# (feature_group_count=2) does exactly the two 64→64 convs' FLOPs, while the
+# dense block-diagonal form does 2× the useful FLOPs but runs at the MXU's
+# 128-wide sweet spot. Measured on v5e (tools/profile_tail_grouped.py,
+# serving tail at batch 16 @ 320²): block-diag 32.2 ms @ 67.4 GFLOP/ms vs
+# grouped 60.7 ms @ 19.9 GFLOP/ms — XLA's TPU lowering of grouped convs is
+# 3.4× worse per useful FLOP than eating the zero blocks, so block-diag
+# stays the default. (The tail is compute-bound at ~34 useful GFLOP/ms;
+# halving its cost further would need a Winograd Pallas kernel.)
+_GROUPED = False
+
+
+def _conv2(x: Array, ka: Array, kb: Array, ba=None, bb=None, pad: int = 0) -> Array:
+    """Apply head-a's conv to channels [:C] and head-b's to [C:] of x."""
+    if _GROUPED:
+        k = jnp.concatenate([ka, kb], axis=3)  # (kh, kw, ci_per_group, 2*co)
+        out = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=2,
+        )
+    else:
+        out = _conv(x, _block_diag(ka, kb), pad=pad)
+    b = _cat_b(ba, bb)
+    return out if b is None else out + b.astype(x.dtype)
+
+
 def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array],
                       ll: Array, nmf_kernel: Optional[bool] = None) -> Dict[str, Array]:
     """Run UpDecoder + LatitudeDecoder as one fused tower (single graph).
@@ -176,7 +202,7 @@ def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
     feats = resize_bilinear(feats, (feats.shape[1] * 2, feats.shape[2] * 2))
     k2u, _ = _ck(pu["ConvModule_2"])
     k2l, _ = _ck(pl["ConvModule_2"])
-    feats = jax.nn.relu(_conv(feats, _block_diag(k2u, k2l), pad=1))
+    feats = jax.nn.relu(_conv2(feats, k2u, k2l, pad=1))
     return resize_bilinear(feats, (feats.shape[1] * 2, feats.shape[2] * 2))
 
 
@@ -196,25 +222,25 @@ def fused_tail(up_params: Params, lat_params: Params, feats: Array,
     h = jax.nn.relu(_conv(r, _cat_out(ka, kb), _cat_b(ba, bb), pad=1))
     ka, ba = _ck(fu["ResidualConvUnit_0"]["Conv2d_1"])
     kb, bb = _ck(fl["ResidualConvUnit_0"]["Conv2d_1"])
-    h = _conv(h, _block_diag(ka, kb), _cat_b(ba, bb), pad=1)
+    h = _conv2(h, ka, kb, ba, bb, pad=1)
     feats = feats + h + jnp.concatenate([r, r], axis=-1)
 
-    # RCU1 on the fused tensor: both convs block-diagonal
+    # RCU1 on the fused tensor: per-head convs on the two halves
     r = jax.nn.relu(feats)
     ka, ba = _ck(fu["ResidualConvUnit_1"]["Conv2d_0"])
     kb, bb = _ck(fl["ResidualConvUnit_1"]["Conv2d_0"])
-    h = jax.nn.relu(_conv(r, _block_diag(ka, kb), _cat_b(ba, bb), pad=1))
+    h = jax.nn.relu(_conv2(r, ka, kb, ba, bb, pad=1))
     ka, ba = _ck(fu["ResidualConvUnit_1"]["Conv2d_1"])
     kb, bb = _ck(fl["ResidualConvUnit_1"]["Conv2d_1"])
-    feats = _conv(h, _block_diag(ka, kb), _cat_b(ba, bb), pad=1) + r
+    feats = _conv2(h, ka, kb, ba, bb, pad=1) + r
 
-    # --- uncertainty branch (block-diag 3x3, then both 1x1s in one conv)
+    # --- uncertainty branch (per-head 3x3, then both 1x1s in one conv)
     k3u, _ = _ck(pu["ConvModule_3"])
     k3l, _ = _ck(pl["ConvModule_3"])
-    unc = jax.nn.relu(_conv(feats, _block_diag(k3u, k3l), pad=1))
+    unc = jax.nn.relu(_conv2(feats, k3u, k3l, pad=1))
     kcu, bcu = _ck(pu["Conv2d_0"])
     kcl, bcl = _ck(pl["Conv2d_0"])
-    log_conf = _conv(unc, _block_diag(kcu, kcl), _cat_b(bcu, bcl))
+    log_conf = _conv2(unc, kcu, kcl, bcu, bcl)
 
     # --- final per-head 1x1 projections as one block conv (128 -> 2+1)
     kpu, bpu = up_params["Conv_0"]["kernel"], up_params["Conv_0"]["bias"]
@@ -240,7 +266,6 @@ def fused_front(
     variables: Dict[str, Any],
     image: Array,
     variant: str = "b",
-    mscan_kernel: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Backbone + low-level encoder + head stages through the second
     upsample. Returns (feats, ll) for `fused_tail`.
@@ -257,21 +282,18 @@ def fused_front(
     p = variables["params"]
     bs = variables.get("batch_stats", {})
 
-    if mscan_kernel is None:
-        # fused-block Pallas path uses TPU-only lowering; default off until
-        # it beats the XLA backbone on-chip (see tools/profile_mscan_kernel)
-        mscan_kernel = False
-    if mscan_kernel:
-        from geocalib_tpu.ops.mscan_block_kernel import mscan_forward_pallas
-
-        hl = mscan_forward_pallas(
-            p["MSCAN_0"], bs["MSCAN_0"], image, MSCAN_VARIANTS[variant]
-        )
-    else:
-        mscan = MSCAN(embed_dims=dims, mlp_ratios=ratios, depths=depths)
-        hl = mscan.apply(
-            {"params": p["MSCAN_0"], "batch_stats": bs["MSCAN_0"]}, image
-        )
+    # The backbone stays on XLA deliberately. A 345-line fused-MSCANBlock
+    # Pallas kernel was built and measured in earlier rounds: it never beat
+    # the XLA backbone (the MSCAN stages are depthwise-conv/VPU-bound —
+    # 17.3 ms of the 56 ms batch at ~42 GFLOP/ms, far from the 123 GFLOP/ms
+    # the MXU reaches on 128-wide dense convs, and XLA already fuses the
+    # BN/GELU/attention elementwise chains), and current Mosaic rejects its
+    # (1,80,80,64)→(80,5120) reshape ("infer-vector-layout: unsupported
+    # shape cast"). Removed in round 4 rather than shipped as a parked flag.
+    mscan = MSCAN(embed_dims=dims, mlp_ratios=ratios, depths=depths)
+    hl = mscan.apply(
+        {"params": p["MSCAN_0"], "batch_stats": bs["MSCAN_0"]}, image
+    )
 
     # LowLevelEncoder = two ConvModules at full res (geocalib_net.py:22-33)
     pll = p["LowLevelEncoder_0"]

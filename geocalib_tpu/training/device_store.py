@@ -55,13 +55,20 @@ class DeviceStore:
         chunk_images: int = 256,
         progress: Optional[Callable[[str], None]] = print,
         sharding=None,
+        row_indices=None,
     ) -> "DeviceStore":
         """Decode every image on host and upload in chunks.
 
         Chunked uploads (~20 MB each) keep the relay's transfer queue
         shallow so a single stall cannot wedge the whole staging step.
+        row_indices selects a subset of the dataset (the shard-refresh
+        path for datasets bigger than their HBM budget).
         """
-        rows = dataset.rows
+        rows = (
+            dataset.rows
+            if row_indices is None
+            else [dataset.rows[int(i)] for i in row_indices]
+        )
         img_dir = dataset.image_dir
         from geocalib_tpu.utils.image import load_image
 
@@ -141,16 +148,14 @@ def make_staged_train_step(
 ):
     """jit((state, images, params, rng) -> (state, scalars)) — everything,
     including batch assembly, in one on-device executable."""
-    from jax.experimental.shard_map import shard_map
-
     from geocalib_tpu.training.train_step import train_step
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         lambda s, b, r: train_step(net, cfg, s, b, r),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
 

@@ -60,6 +60,13 @@ default_conf: Dict[str, Any] = {
         # log up/latitude field figures with each val eval (0 disables)
         "figures_every": 1000,
         "val_batches": 10,
+        # warm-start weights (msgpack from training/export.py); the radial
+        # fine-tune initializes from the trained pinhole model this way
+        "init_weights": "",
+        # staged mode: HBM budget controls (0 = stage the whole split)
+        "staged_subset": 0,
+        "staged_refresh_every": 5000,
+        "staged_val_rows": 2048,
     },
     "data": {
         "dataset_dir": "",
@@ -182,12 +189,17 @@ def training(
     assert global_batch % jax.process_count() == 0, (
         f"batch_size {global_batch} not divisible by {jax.process_count()} processes"
     )
+    # augmentation="device": decode-only host loader + photometric
+    # augmentation inside the jitted step (the input pipeline then outruns
+    # the chip on a 2-core host; the host zoo runs at ~8.5 img/s)
+    aug_mode = dconf.get("augmentation", "geocalib")
+    on_device_aug = aug_mode == "device"
     train_ds = SimpleDataset(
         DatasetConf(
             dataset_dir=dconf["dataset_dir"],
             csv_name="train.csv",
             batch_size=global_batch // jax.process_count(),
-            augmentation=dconf.get("augmentation", "geocalib"),
+            augmentation="identity" if on_device_aug else aug_mode,
             seed=int(conf["seed"]),
             camera_model=dconf.get("camera_model", cfg.camera_model),
         )
@@ -216,8 +228,10 @@ def training(
 
         state = jax.device_put(state, replicated(mesh))
         print(f"restored checkpoint at step {start_step}")
+    else:
+        state = _maybe_init_weights(state, conf, mesh)
 
-    step_fn = make_sharded_train_step(net, cfg, mesh)
+    step_fn = make_sharded_train_step(net, cfg, mesh, augment_on_device=on_device_aug)
     eval_fn = make_eval_step(net, cfg)
 
     t_conf = conf["train"]
@@ -304,6 +318,28 @@ def training(
     return scalars
 
 
+def _maybe_init_weights(state, conf: Dict[str, Any], mesh):
+    """Initialize params/batch_stats from an exported msgpack (the radial
+    fine-tune path: reference geocalib-radial.yaml trains from the released
+    pinhole weights; the net is camera-model-agnostic, only the LM differs).
+    Controlled by train.init_weights; ignored when restoring a checkpoint.
+    """
+    init_w = str(conf["train"].get("init_weights", "") or "")
+    if not init_w:
+        return state
+    from geocalib_tpu.extractor import load_params
+    from geocalib_tpu.parallel.mesh import replicated
+
+    variables = load_params(init_w, variant=conf["train"].get("variant", "b"))
+    state = state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", state.batch_stats),
+    )
+    state = jax.device_put(state, replicated(mesh))
+    print(f"initialized weights from {init_w}")
+    return state
+
+
 def _staged_training(
     conf: Dict[str, Any],
     output_dir: str,
@@ -345,6 +381,8 @@ def _staged_training(
 
         state = jax.device_put(state, replicated(mesh))
         print(f"restored checkpoint at step {start_step}")
+    else:
+        state = _maybe_init_weights(state, conf, mesh)
 
     mk_ds = lambda csv, aug: SimpleDataset(
         DatasetConf(
@@ -355,9 +393,36 @@ def _staged_training(
             camera_model=dconf.get("camera_model", cfg.camera_model),
         )
     )
-    # host-side decode only; augmentation happens on device
-    store = DeviceStore.stage(mk_ds("train.csv", "identity"))
-    val_store = DeviceStore.stage(mk_ds("val.csv", "identity"))
+    # host-side decode only; augmentation happens on device. Stores are
+    # replicated over the mesh (r3 advisor fix: an unsharded device_put
+    # commits to device 0 and the sharded step then fails to compile on
+    # multi-device meshes).
+    from geocalib_tpu.parallel.mesh import replicated as _replicated
+
+    repl = _replicated(mesh)
+    train_ds = mk_ds("train.csv", "identity")
+
+    # datasets larger than their HBM budget are staged as rotating random
+    # subsets: stage `staged_subset` rows now, restage a fresh draw every
+    # `staged_refresh_every` steps (~tens of seconds amortized over
+    # thousands of on-chip steps). 0 disables (stage everything).
+    staged_subset = int(conf["train"].get("staged_subset", 0) or 0)
+    refresh_every = int(conf["train"].get("staged_refresh_every", 5000))
+    store_rng = np.random.default_rng(int(conf["seed"]) + 17)
+
+    def stage_train() -> DeviceStore:
+        if staged_subset and staged_subset < len(train_ds.rows):
+            idx = store_rng.choice(
+                len(train_ds.rows), size=staged_subset, replace=False
+            )
+            return DeviceStore.stage(train_ds, sharding=repl, row_indices=idx)
+        return DeviceStore.stage(train_ds, sharding=repl)
+
+    store = stage_train()
+    val_ds = mk_ds("val.csv", "identity")
+    val_cap = int(conf["train"].get("staged_val_rows", 2048) or 0)
+    val_idx = range(min(val_cap, len(val_ds.rows))) if val_cap else None
+    val_store = DeviceStore.stage(val_ds, sharding=repl, row_indices=val_idx)
 
     augment = dconf.get("augmentation", "geocalib") != "identity"
     step_fn = make_staged_train_step(net, cfg, mesh, global_batch, augment=augment)
@@ -370,6 +435,16 @@ def _staged_training(
     scalars: Dict[str, float] = {}
     t0 = time.time()
     for step in range(start_step, total):
+        if (
+            staged_subset
+            and staged_subset < len(train_ds.rows)
+            and step > start_step
+            and step % refresh_every == 0
+        ):
+            # free the old store BEFORE decoding the new draw: overlapping
+            # both would spike HBM by the store size
+            store = None
+            store = stage_train()
         rng, step_rng = jax.random.split(rng)
         state, out = step_fn(state, store.images, store.gt_params, step_rng)
 

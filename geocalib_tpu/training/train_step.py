@@ -205,6 +205,13 @@ def train_step(net: GeoCalibNet, cfg: TrainConfig, state: TrainState, batch, rng
     )
     finite = jax.lax.pmin(jnp.isfinite(loss).astype(jnp.float32), DATA_AXIS) > 0.5
 
+    # sanitize ALL non-finite gradient values (optax.zero_nans only zeroes
+    # NaN; a ±inf leaf would make clip_by_global_norm's global norm inf and
+    # the inf leaf inf/inf = NaN, permanently poisoning Adam moments —
+    # r3 advisor finding). zero_nans stays in the chain so the opt_state
+    # pytree structure (and with it checkpoint compatibility) is unchanged.
+    grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+
     updates, new_opt = make_optimizer(cfg).update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
 
@@ -227,18 +234,33 @@ def train_step(net: GeoCalibNet, cfg: TrainConfig, state: TrainState, batch, rng
     return state, scalars
 
 
-def make_sharded_train_step(net: GeoCalibNet, cfg: TrainConfig, mesh: Mesh):
-    """jit(shard_map(train_step)): batch sharded over 'data', state replicated."""
-    from jax.experimental.shard_map import shard_map
+def make_sharded_train_step(
+    net: GeoCalibNet, cfg: TrainConfig, mesh: Mesh, augment_on_device: bool = False
+):
+    """jit(shard_map(train_step)): batch sharded over 'data', state replicated.
+
+    augment_on_device=True applies the photometric augmentation pipeline
+    (data/device_augment.py) inside the step — the host loader then only
+    decodes JPEGs (hundreds of img/s on one core) instead of running the
+    GIL-bound augmentation zoo (8.5 img/s measured r3). This is the
+    data.augmentation="device" loader mode.
+    """
 
     def step(state, batch, rng):
+        if augment_on_device:
+            from geocalib_tpu.data.device_augment import device_augment
+
+            k_aug = jax.random.fold_in(
+                jax.random.fold_in(rng, 1), jax.lax.axis_index(DATA_AXIS)
+            )
+            batch = dict(batch, image=device_augment(batch["image"], k_aug))
         return train_step(net, cfg, state, batch, rng)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -59,7 +59,7 @@ def main():
     )
 
     # sharded shared-intrinsics LM (cross-process psum of intrinsic blocks)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     data = {
@@ -73,7 +73,7 @@ def main():
             mesh=mesh,
             in_specs=(P(DATA_AXIS),),
             out_specs=P(DATA_AXIS),
-            check_rep=False,
+            check_vma=False,
         )
     )
     out = sharded_lm(shard_batch(data, mesh))
