@@ -173,6 +173,20 @@ def check_kernel_parity(cfg_kernel, cfg_xla):
     return max(rp_diff, vfov_diff)
 
 
+def check_kernel_parity_radial() -> float:
+    """Same Pallas-vs-XLA parity check through the simple_radial model
+    (r3 verdict #9: parity was only ever pinned at 64x64/pinhole)."""
+    import dataclasses
+
+    from geocalib_tpu.optim.lm import LMConfig
+
+    cfg = LMConfig(camera_model="simple_radial")
+    return check_kernel_parity(
+        dataclasses.replace(cfg, use_pallas=True),
+        dataclasses.replace(cfg, use_pallas=False),
+    )
+
+
 def stage_calibrate() -> dict:
     import jax
 
@@ -199,6 +213,13 @@ def stage_calibrate() -> dict:
             out["kernel_parity_max_dev"] = float(
                 f"{check_kernel_parity(LMConfig(use_pallas=True), LMConfig(use_pallas=False)):.2e}"
             )
+            try:
+                out["kernel_parity_radial_max_dev"] = float(
+                    f"{check_kernel_parity_radial():.2e}"
+                )
+            except Exception:
+                traceback.print_exc()
+                out["kernel_parity_radial_max_dev"] = "failed"
         fwd = build_forward(net, LMConfig(use_pallas=on_tpu), fused=True)
         dt = time_path(fwd, params, key)
     except Exception:

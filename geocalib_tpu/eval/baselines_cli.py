@@ -32,6 +32,7 @@ def evaluate_baseline(
     camera_model: str = "pinhole",
     experiment_dir: str = None,
     max_images: int = None,
+    weights: str = None,
 ) -> Dict[str, float]:
     import jax.numpy as jnp
 
@@ -51,6 +52,8 @@ def evaluate_baseline(
             camera_model=camera_model,
         )
     )
+    if len(ds.rows) < ds.conf.batch_size:  # tiny test splits: don't drop all rows
+        ds.conf.batch_size = max(1, len(ds.rows))
 
     if method == "uvp":
         from geocalib_tpu.models.uvp import NativeUVP
@@ -73,6 +76,56 @@ def evaluate_baseline(
                 }
             )
             grav = Gravity.from_vec3d(jnp.asarray(np.stack(gs), jnp.float32))
+            return cam, grav
+
+    elif method == "deepcalib":
+        # learned baseline (reference README tables always include it,
+        # /root/reference/README.md:223): bin-classifier trained by
+        # training/train_deepcalib.py; rho decoded back to pitch
+        import jax
+        from flax import serialization
+
+        from geocalib_tpu.models.deepcalib import DeepCalib
+        from geocalib_tpu.utils.conversions import fov2focal, rho2pitch
+
+        assert weights, "deepcalib baseline needs a trained weights path"
+        payload = serialization.msgpack_restore(Path(weights).read_bytes())
+        net_conf = payload.get("conf", {})
+        bc = net_conf.get("block_config", (4, 8, 12, 8))
+        if isinstance(bc, dict):  # msgpack round-trips lists as {"0": v, ...}
+            bc = [bc[k] for k in sorted(bc, key=int)]
+        net = DeepCalib(
+            num_bins=int(net_conf.get("num_bins", 256)),
+            block_config=tuple(int(x) for x in bc),
+            growth_rate=int(net_conf.get("growth_rate", 32)),
+        )
+        variables = {
+            "params": payload["params"], "batch_stats": payload["batch_stats"]
+        }
+
+        @jax.jit
+        def run(img):
+            out = net.apply(variables, img.astype(jnp.bfloat16), train=False)
+            return {
+                k: v.astype(jnp.float32)
+                for k, v in out.items()
+                if not k.endswith("_logits")
+            }
+
+        def predict(images):
+            B = len(images)
+            h, w = images.shape[1:3]
+            out = run(jnp.asarray(images))
+            f = fov2focal(out["vfov"], float(h))
+            pitch = rho2pitch(out["rho"], f, float(h))
+            cam = Camera.from_dict(
+                {
+                    "height": jnp.full((B,), float(h)),
+                    "width": jnp.full((B,), float(w)),
+                    "vfov": out["vfov"],
+                }
+            )
+            grav = Gravity.from_rp(out["roll"], pitch)
             return cam, grav
 
     elif method == "trivial":
@@ -122,7 +175,8 @@ def evaluate_baseline(
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("benchmark", help="benchmark name (eval/benchmarks.py) or a dataset dir")
-    ap.add_argument("--method", default="uvp", choices=["uvp", "trivial"])
+    ap.add_argument("--method", default="uvp", choices=["uvp", "trivial", "deepcalib"])
+    ap.add_argument("--weights", default=None, help="deepcalib weights .msgpack")
     ap.add_argument("--split", default="test")
     ap.add_argument("--camera_model", default="pinhole")
     ap.add_argument("--max_images", type=int, default=None)
@@ -146,6 +200,7 @@ def main():
         camera_model=args.camera_model,
         experiment_dir=str(out_dir),
         max_images=args.max_images,
+        weights=args.weights,
     )
     print(json.dumps(summary, indent=2))
 

@@ -46,6 +46,12 @@ default_conf: Dict[str, Any] = {
         "total_steps": 150_000,
         "camera_model": "pinhole",
         "lm_steps": 10,
+        # LM gradient semantics: "ift" (stable default — implicit-function-
+        # theorem gradients at the fixed point) or "unroll" (the reference's
+        # backprop-through-all-iterations; numerically fragile in early
+        # training, see train_step.TrainConfig). Reference-parity runs must
+        # set "unroll" explicitly.
+        "lm_grad_mode": "ift",
         "variant": "b",
         "drop_path_rate": 0.1,
         "log_every": 100,
@@ -88,6 +94,7 @@ def make_train_config(conf: Dict[str, Any]) -> TrainConfig:
         total_steps=int(t["total_steps"]),
         camera_model=t["camera_model"],
         lm_steps=int(t["lm_steps"]),
+        lm_grad_mode=t.get("lm_grad_mode", "ift"),
         variant=t["variant"],
         drop_path_rate=float(t["drop_path_rate"]),
     )

@@ -45,7 +45,11 @@ def main():
     ap.add_argument("--split", default="test")
     ap.add_argument(
         "--methods", default="geocalib,uvp,trivial",
-        help="comma list: geocalib,uvp,trivial,heuristic",
+        help="comma list: geocalib,deepcalib,uvp,trivial,heuristic",
+    )
+    ap.add_argument(
+        "--deepcalib_weights", default="weights/deepcalib_deepcalib_r04.msgpack",
+        help="trained DeepCalib baseline weights (for --methods deepcalib)",
     )
     ap.add_argument("--out_json", default="outputs/results/accuracy_table.json")
     ap.add_argument("--out_md", default="ACCURACY.md")
@@ -79,7 +83,10 @@ def main():
         else:
             from geocalib_tpu.eval.baselines_cli import evaluate_baseline
 
-            summary = evaluate_baseline(method, args.dataset, split=args.split)
+            summary = evaluate_baseline(
+                method, args.dataset, split=args.split,
+                weights=args.deepcalib_weights if method == "deepcalib" else None,
+            )
         results[method] = summary
         print(f"{method}: " + "  ".join(
             f"{m} AUC@1/5/10 = {c}" for m, c in zip(METRICS, auc_row(summary))
@@ -102,11 +109,12 @@ def main():
     ]
     display = {
         "geocalib": "**GeoCalib-TPU (trained)**",
+        "deepcalib": "DeepCalib (learned baseline, from scratch)",
         "uvp": "UVP (native line-based)",
         "trivial": "Trivial init (r=p=0, f=0.7·max(h,w))",
         "heuristic": "Heuristic init",
     }
-    order = ["geocalib", "uvp", "heuristic", "trivial"]
+    order = ["geocalib", "deepcalib", "uvp", "heuristic", "trivial"]
     for method in sorted(results, key=lambda m: order.index(m) if m in order else 99):
         cells = auc_row(results[method])
         lines.append(f"| {display.get(method, method)} | " + " | ".join(cells) + " |")
