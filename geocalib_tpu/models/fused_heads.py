@@ -206,17 +206,62 @@ def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
     return resize_bilinear(feats, (feats.shape[1] * 2, feats.shape[2] * 2))
 
 
+def _tail_one_head(p: Params, feats_h: Array, r: Array) -> Tuple[Array, Array]:
+    """One head's full-resolution tail at its native 64-channel width:
+    FeatureFusionBlock RCUs + uncertainty branch. Returns (feats, log_conf)."""
+    f = p["FeatureFusionBlock_0"]
+    ka, ba = _ck(f["ResidualConvUnit_0"]["Conv2d_0"])
+    h = jax.nn.relu(_conv(r, ka, ba, pad=1))
+    ka, ba = _ck(f["ResidualConvUnit_0"]["Conv2d_1"])
+    h = _conv(h, ka, ba, pad=1)
+    x = feats_h + h + r
+
+    r1 = jax.nn.relu(x)
+    ka, ba = _ck(f["ResidualConvUnit_1"]["Conv2d_0"])
+    h = jax.nn.relu(_conv(r1, ka, ba, pad=1))
+    ka, ba = _ck(f["ResidualConvUnit_1"]["Conv2d_1"])
+    x = _conv(h, ka, ba, pad=1) + r1
+
+    k3, _ = _ck(p["ConvModule_3"])
+    unc = jax.nn.relu(_conv(x, k3, pad=1))
+    kc, bc = _ck(p["Conv2d_0"])
+    return x, _conv(unc, kc, bc)
+
+
+# Tail execution strategy, measured on v5e at batch 16 @ 320²
+# (tools/profile_tail_grouped.py): the fused 128-wide block-diagonal form
+# reaches 67.4 GFLOP/ms in situ — NOT the 123 GFLOP/ms of the isolated conv
+# microbenchmark that motivated the r2 fusion — so its 2× FLOP redundancy
+# costs more than the narrow-conv penalty it avoids. "perhead" runs the two
+# 64-wide towers sequentially on exactly the useful FLOPs.
+_TAIL_MODE = "blockdiag"  # "perhead" | "blockdiag" (flip pending on-chip A/B)
+
+
 def fused_tail(up_params: Params, lat_params: Params, feats: Array,
                ll: Array) -> Dict[str, Array]:
     """Full-resolution tail: FeatureFusionBlock, uncertainty branch, and the
     per-head projections, on the fused 2x-wide tensor. Jit this separately
     from `fused_front` for serving (see fused_heads_apply docstring)."""
     pu, pl = up_params["LightHamHead_0"], lat_params["LightHamHead_0"]
+    r = jax.nn.relu(ll)
+
+    if _TAIL_MODE == "perhead":
+        C = feats.shape[-1] // 2
+        xu, lcu = _tail_one_head(pu, feats[..., :C], r)
+        xl, lcl = _tail_one_head(pl, feats[..., C:], r)
+        log_conf = jnp.concatenate([lcu, lcl], axis=-1)
+        proj = jnp.concatenate(
+            [
+                _conv(xu, up_params["Conv_0"]["kernel"], up_params["Conv_0"]["bias"]),
+                _conv(xl, lat_params["Conv_0"]["kernel"], lat_params["Conv_0"]["bias"]),
+            ],
+            axis=-1,
+        )
+        return _tail_activations(proj, log_conf)
 
     # FeatureFusionBlock(x=feats, skip=ll), upsample=False (modules.py:122-135)
     # RCU0 on the shared skip: first conv fuses by output-concat
     fu, fl = pu["FeatureFusionBlock_0"], pl["FeatureFusionBlock_0"]
-    r = jax.nn.relu(ll)
     ka, ba = _ck(fu["ResidualConvUnit_0"]["Conv2d_0"])
     kb, bb = _ck(fl["ResidualConvUnit_0"]["Conv2d_0"])
     h = jax.nn.relu(_conv(r, _cat_out(ka, kb), _cat_b(ba, bb), pad=1))
@@ -246,7 +291,10 @@ def fused_tail(up_params: Params, lat_params: Params, feats: Array,
     kpu, bpu = up_params["Conv_0"]["kernel"], up_params["Conv_0"]["bias"]
     kpl, bpl = lat_params["Conv_0"]["kernel"], lat_params["Conv_0"]["bias"]
     proj = _conv(feats, _block_diag(kpu, kpl), _cat_b(bpu, bpl))
+    return _tail_activations(proj, log_conf)
 
+
+def _tail_activations(proj: Array, log_conf: Array) -> Dict[str, Array]:
     up = proj[..., :2]
     # safe normalize (matches geocalib_net.UpDecoder): clamp inside the sqrt
     up = up / jnp.sqrt(jnp.maximum(jnp.sum(up * up, axis=-1, keepdims=True), 1e-24))

@@ -27,27 +27,66 @@ def img():
 
 def test_device_matches_host_distribution(img):
     """Mean |perturbation| and mean-shift distributions overlap between the
-    host and device pipelines over many draws."""
+    host and device pipelines over many draws (64 draws each; the r3
+    advisor flagged the 16-draw 0.3-3.0x bound as too loose to catch a
+    train/eval domain gap)."""
     host_diffs, host_means = [], []
     aug = get_augmentation("geocalib", seed=0)
-    for s in range(16):
+    for s in range(64):
         aug.reseed(s)
         out = aug(img)
         host_diffs.append(float(np.abs(out - img).mean()))
         host_means.append(float(out.mean()))
 
-    batch = jnp.tile(jnp.asarray(img)[None], (16, 1, 1, 1))
+    batch = jnp.tile(jnp.asarray(img)[None], (64, 1, 1, 1))
     dev = np.asarray(jax.jit(device_augment)(batch, jax.random.PRNGKey(0)))
     dev_diffs = np.abs(dev - img[None]).mean(axis=(1, 2, 3))
     dev_means = dev.mean(axis=(1, 2, 3))
 
-    # same order of magnitude of perturbation, no degenerate identity
-    assert 0.3 < np.mean(dev_diffs) / np.mean(host_diffs) < 3.0, (
+    # same scale of perturbation, no degenerate identity
+    assert 0.5 < np.mean(dev_diffs) / np.mean(host_diffs) < 2.0, (
         np.mean(dev_diffs), np.mean(host_diffs))
     assert dev_diffs.min() > 1e-4
     assert dev_diffs.max() < 0.5
     # both keep global brightness roughly centered
     assert abs(np.mean(dev_means) - img.mean()) < 0.25
+    # and the spread of perturbation strengths overlaps (not just the mean):
+    # compare interquartile ranges on a log scale
+    hq1, hq3 = np.percentile(host_diffs, [25, 75])
+    dq1, dq3 = np.percentile(dev_diffs, [25, 75])
+    assert dq1 < hq3 * 2.0 and hq1 < dq3 * 2.0, (
+        (hq1, hq3), (dq1, dq3))
+
+
+def test_device_blur_mtf_matches_host(img):
+    """Per-op check (r3 advisor): the Downscale stand-in's transfer at a
+    known spatial frequency must sit in the same range as the host op's.
+
+    Probes with a pure horizontal grating and measures how much of that
+    frequency survives each pipeline (median over draws, so the stochastic
+    noise/tone ops average out)."""
+    f = 8  # cycles over the 64-px image: inside both pipelines' blur band
+    y, x = np.mgrid[0:64, 0:64]
+    grating = (0.5 + 0.25 * np.sin(2 * np.pi * f * x / 64.0)).astype(np.float32)
+    probe = np.repeat(grating[..., None], 3, axis=-1)
+
+    def amplitude(a):
+        # projection onto the probe frequency along x, averaged over rows
+        ref = np.sin(2 * np.pi * f * np.arange(64) / 64.0)
+        return float(np.abs((a.mean(-1) * ref[None, :]).mean()))
+
+    a0 = amplitude(probe)
+    host_amp = []
+    aug = get_augmentation("geocalib", seed=0)
+    for s in range(32):
+        aug.reseed(s)
+        host_amp.append(amplitude(aug(probe)) / a0)
+    batch = jnp.tile(jnp.asarray(probe)[None], (32, 1, 1, 1))
+    dev = np.asarray(jax.jit(device_augment)(batch, jax.random.PRNGKey(3)))
+    dev_amp = [amplitude(dev[i]) / a0 for i in range(32)]
+
+    h_med, d_med = np.median(host_amp), np.median(dev_amp)
+    assert 0.5 < d_med / h_med < 2.0, (h_med, d_med)
 
 
 def test_device_augment_lowpass_always_applied(img):

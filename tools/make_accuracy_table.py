@@ -24,11 +24,11 @@ METRICS = ("roll_error", "pitch_error", "vfov_error")
 THRESH = (1, 5, 10)
 
 
-def auc_row(summary):
+def auc_row(summary, metrics=METRICS):
     """AUC cells as percentages (the repo's compute_auc returns fractions;
     the reference README quotes x100 values)."""
     cells = []
-    for m in METRICS:
+    for m in metrics:
         cells.append(
             " / ".join(
                 f"{100 * summary.get(f'auc_{m}@{t}', float('nan')):.1f}"
@@ -53,6 +53,8 @@ def main():
     )
     ap.add_argument("--out_json", default="outputs/results/accuracy_table.json")
     ap.add_argument("--out_md", default="ACCURACY.md")
+    ap.add_argument("--title", default="OpenPano-synth test split")
+    ap.add_argument("--camera_model", default="pinhole")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument(
@@ -77,6 +79,7 @@ def main():
                 params,
                 args.dataset,
                 split=args.split,
+                camera_model=args.camera_model,
                 batch_size=args.batch_size,
                 compute_dtype=args.compute_dtype,
             )
@@ -85,6 +88,7 @@ def main():
 
             summary = evaluate_baseline(
                 method, args.dataset, split=args.split,
+                camera_model=args.camera_model,
                 weights=args.deepcalib_weights if method == "deepcalib" else None,
             )
         results[method] = summary
@@ -96,7 +100,7 @@ def main():
     Path(args.out_json).write_text(json.dumps(results, indent=2))
 
     lines = [
-        "# Accuracy — OpenPano-synth test split",
+        f"# Accuracy — {args.title}",
         "",
         f"AUC (higher is better) of the error-recall curves at {THRESH} degree",
         "thresholds, computed by `geocalib_tpu.eval` (same protocol as the",
@@ -104,9 +108,19 @@ def main():
         "`tools/make_accuracy_table.py` with the repo's own metric code on",
         f"`{args.dataset}` ({args.split} split).",
         "",
-        "| Method | Roll AUC@1/5/10 | Pitch AUC@1/5/10 | VFoV AUC@1/5/10 |",
-        "|---|---|---|---|",
     ]
+    has_k1 = any("median_k1_error" in s for s in results.values())
+    if has_k1:
+        lines += [
+            "| Method | Roll AUC@1/5/10 | Pitch AUC@1/5/10 | VFoV AUC@1/5/10 "
+            "| median k1 err | px-distortion recall@1px |",
+            "|---|---|---|---|---|---|",
+        ]
+    else:
+        lines += [
+            "| Method | Roll AUC@1/5/10 | Pitch AUC@1/5/10 | VFoV AUC@1/5/10 |",
+            "|---|---|---|---|",
+        ]
     display = {
         "geocalib": "**GeoCalib-TPU (trained)**",
         "deepcalib": "DeepCalib (learned baseline, from scratch)",
@@ -116,7 +130,13 @@ def main():
     }
     order = ["geocalib", "deepcalib", "uvp", "heuristic", "trivial"]
     for method in sorted(results, key=lambda m: order.index(m) if m in order else 99):
-        cells = auc_row(results[method])
+        s = results[method]
+        cells = auc_row(s)
+        if has_k1:
+            cells.append(f"{s.get('median_k1_error', float('nan')):.4f}")
+            cells.append(
+                f"{100 * s.get('mean_pixel_distortion_error@1', float('nan')):.1f}"
+            )
         lines.append(f"| {display.get(method, method)} | " + " | ".join(cells) + " |")
     lines.append("")
     Path(args.out_md).write_text("\n".join(lines))

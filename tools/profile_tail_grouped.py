@@ -1,8 +1,15 @@
-"""A/B the serving tail: grouped (feature_group_count=2) vs block-diagonal
-dense convs for the per-head 128-wide tensor (see fused_heads._conv2).
+"""A/B the serving tail implementations on the real chip:
 
-Grouped does exactly the useful FLOPs (two 64→64 convs); block-diag does 2×
-the FLOPs at the MXU's 128-wide sweet spot. Run on the real chip:
+- block-diag: fused 128-wide dense convs (2x the useful FLOPs, MXU
+  sweet-spot shapes)
+- grouped: feature_group_count=2 (exact useful FLOPs)
+- per-head: two sequential 64-wide towers (exact useful FLOPs, narrow)
+
+Measured r4 on v5e @ batch 16, 320²: block-diag 32.2 ms @ 67.4 GFLOP/ms,
+grouped 60.7 ms @ 19.9 GFLOP/ms. The question per-head answers: in-situ the
+block-diag conv only reaches 67.4 GFLOP/ms (not the 123 of the conv
+microbenchmark), so 64-wide towers at their measured ~42 GFLOP/ms on HALF
+the FLOPs should win (1085/42 ≈ 26 ms < 32.2).
 
     python tools/profile_tail_grouped.py
 """
@@ -32,8 +39,10 @@ def main():
     feats = jax.random.normal(key, (B, H, W, 128), jnp.bfloat16)
     ll = jax.random.normal(jax.random.fold_in(key, 1), (B, H, W, 64), jnp.bfloat16)
 
-    for mode in (False, True):
-        fh._GROUPED = mode
+    prev = None
+    for mode, grouped in (("blockdiag", False), ("grouped", True), ("perhead", False)):
+        fh._TAIL_MODE = "perhead" if mode == "perhead" else "blockdiag"
+        fh._GROUPED = grouped
 
         @jax.jit
         def tail(p, feats, ll):
@@ -55,13 +64,14 @@ def main():
         except Exception:
             fl = float("nan")
         print(
-            f"mode={'grouped' if mode else 'block-diag'}: {dt:.2f} ms/batch, "
+            f"mode={mode}: {dt:.2f} ms/batch, "
             f"{fl / 1e9:.1f} GFLOP, {fl / dt / 1e9:.1f} GFLOP/ms"
         )
-        if mode:
-            dev = np.abs(np.asarray(out["latitude_field"], np.float32) - prev).max()
-            print(f"  max |lat diff| grouped vs block-diag: {dev:.2e}")
-        prev = ref
+        if prev is not None:
+            dev = np.abs(ref - prev).max()
+            print(f"  max |lat diff| vs block-diag: {dev:.2e}")
+        else:
+            prev = ref
 
 
 if __name__ == "__main__":
