@@ -228,13 +228,17 @@ def _tail_one_head(p: Params, feats_h: Array, r: Array) -> Tuple[Array, Array]:
     return x, _conv(unc, kc, bc)
 
 
-# Tail execution strategy, measured on v5e at batch 16 @ 320²
-# (tools/profile_tail_grouped.py): the fused 128-wide block-diagonal form
-# reaches 67.4 GFLOP/ms in situ — NOT the 123 GFLOP/ms of the isolated conv
-# microbenchmark that motivated the r2 fusion — so its 2× FLOP redundancy
-# costs more than the narrow-conv penalty it avoids. "perhead" runs the two
-# 64-wide towers sequentially on exactly the useful FLOPs.
-_TAIL_MODE = "blockdiag"  # "perhead" | "blockdiag" (flip pending on-chip A/B)
+# Tail execution strategy, measured on v5e at batch 16 @ 320² as standalone
+# jitted executables (tools/profile_tail_grouped.py, r4):
+#   blockdiag 31.3 ms @ 69.4 GFLOP/ms executed (34.7 useful)
+#   perhead   37.7 ms @ 32.0 GFLOP/ms (exact useful FLOPs, 64-wide convs)
+#   grouped   57.2 ms @ 21.1 GFLOP/ms (feature_group_count=2 lowering)
+# The fused 128-wide block-diagonal form wins despite doing 2× the useful
+# FLOPs: in situ the 64-wide towers only reach 32 GFLOP/ms (below even
+# their 42 GFLOP/ms isolated number), so eating the zero blocks at the
+# MXU's 128-lane width is the practical roofline for this tail. Kept as a
+# measured three-way decision; "perhead" remains for exact-parity checks.
+_TAIL_MODE = "blockdiag"  # "perhead" | "blockdiag"
 
 
 def fused_tail(up_params: Params, lat_params: Params, feats: Array,

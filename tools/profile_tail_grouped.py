@@ -5,11 +5,14 @@
 - grouped: feature_group_count=2 (exact useful FLOPs)
 - per-head: two sequential 64-wide towers (exact useful FLOPs, narrow)
 
-Measured r4 on v5e @ batch 16, 320²: block-diag 32.2 ms @ 67.4 GFLOP/ms,
-grouped 60.7 ms @ 19.9 GFLOP/ms. The question per-head answers: in-situ the
-block-diag conv only reaches 67.4 GFLOP/ms (not the 123 of the conv
-microbenchmark), so 64-wide towers at their measured ~42 GFLOP/ms on HALF
-the FLOPs should win (1085/42 ≈ 26 ms < 32.2).
+Measured r4 on v5e @ batch 16, 320² (standalone jitted tail):
+  blockdiag 31.3 ms @ 69.4 GFLOP/ms | perhead 37.7 ms @ 32.0 GFLOP/ms |
+  grouped 57.2 ms @ 21.1 GFLOP/ms.
+Conclusion: the 128-wide block-diagonal fusion wins even though half its
+FLOPs are zeros — in situ the 64-wide towers only reach 32 GFLOP/ms (below
+their 42 GFLOP/ms isolated-conv number), and XLA's grouped-conv lowering is
+worse still. The hypothetical that motivated the perhead mode (useful-FLOP
+rate 1085/42 ≈ 26 ms < 31.3) does not survive measurement.
 
     python tools/profile_tail_grouped.py
 """
