@@ -56,6 +56,7 @@ default_conf: Dict[str, Any] = {
         # baseline row
         "block_config": [4, 8, 12, 8],
         "growth_rate": 32,
+        "staged_subset": 8192,
     },
     "data": {"dataset_dir": "", "batch_size": 32},
 }
@@ -187,7 +188,17 @@ def training(conf: Dict[str, Any], output_dir: str, restore: bool = False):
             augmentation="identity",
         )
     )
-    store = DeviceStore.stage(mk("train.csv"), sharding=repl)
+    # stage a bounded random subset (the full 32k-crop v2 split would not
+    # share HBM with the DenseNet's activations)
+    train_rows = mk("train.csv")
+    cap = int(t_conf.get("staged_subset", 8192) or 0)
+    if cap and cap < len(train_rows.rows):
+        idx = np.random.default_rng(int(conf["seed"]) + 3).choice(
+            len(train_rows.rows), size=cap, replace=False
+        )
+        store = DeviceStore.stage(train_rows, sharding=repl, row_indices=idx)
+    else:
+        store = DeviceStore.stage(train_rows, sharding=repl)
     val_ds = mk("val.csv")
     val_store = DeviceStore.stage(
         val_ds, sharding=repl, row_indices=range(min(1024, len(val_ds.rows)))
