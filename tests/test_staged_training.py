@@ -91,3 +91,41 @@ def test_staged_training_loss_decreases(tiny_ds, tmp_path):
     assert len(losses) >= 2 and all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
     assert (out / "checkpoint_8").exists()
+
+
+def test_staged_subset_refresh(tiny_ds, tmp_path):
+    """Rotating-subset staging: a store smaller than the dataset restages
+    mid-run without recompiling or breaking the step (the HBM-budget path
+    used for the 32k-crop v2 dataset)."""
+    import json
+
+    conf = merge(
+        default_conf,
+        {
+            "train": {
+                "variant": "tiny",
+                "lm_steps": 2,
+                "input_size": 64,
+                "total_steps": 6,
+                "log_every": 1,
+                "eval_every": 100,
+                "save_every": 100,
+                "warmup_steps": 2,
+                "decay_milestones": [5],
+                "lr": 3e-4,
+                "staged_subset": 6,  # < the tiny train split
+                "staged_refresh_every": 3,
+                "staged_val_rows": 4,
+            },
+            # batch must be divisible over the 8-device test mesh
+            "data": {"dataset_dir": str(tiny_ds), "batch_size": 8},
+        },
+    )
+    out = tmp_path / "exp_refresh"
+    training(conf, str(out), staged=True)
+    log = [
+        json.loads(line)
+        for line in (out / "logs" / "metrics.jsonl").read_text().splitlines()
+    ]
+    losses = [r["loss/total"] for r in log if "loss/total" in r]
+    assert len(losses) >= 3 and all(np.isfinite(l) for l in losses)
