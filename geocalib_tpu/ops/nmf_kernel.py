@@ -94,8 +94,10 @@ def nmf_pallas(
         ),
         # the resident (6400, 512) bf16 x block (double-buffered across the
         # batch grid) plus f32 intermediates exceed the 16 MB default
-        # scoped-vmem budget
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
+        # scoped-vmem budget; current Mosaic accounts ~30 MB for the eval
+        # shapes (stacked B=16), so give it generous headroom — v5e has
+        # 128 MB of VMEM per core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, bases_t)
     return jnp.einsum("bnr,brd->bnd", coef, bt)
