@@ -1,7 +1,8 @@
 """Headline benchmark: end-to-end calibration throughput on one chip.
 
 Prints ONE JSON line with the headline metric (images/s through the full
-flagship pipeline: MSCAN-B + LightHam heads in bf16 + 10-step f32 LM solver,
+flagship pipeline: MSCAN-B + LightHam heads in bf16 + the inference-preset
+f32 LM solver — LMConfig() defaults: 30 steps with early stop, huber loss —
 batch 16 @ 320x320) plus training/loader throughput and an honest
 utilization section (measured FLOPs from XLA cost analysis, achieved
 TFLOP/s, MFU vs the chip's bf16 peak).
@@ -123,8 +124,10 @@ def measured_flops(fns, *args_lists):
     """Total FLOPs of the jitted executables via XLA cost analysis.
 
     Counted on the compiled HLO (fusion included), so this is what the chip
-    actually runs, not a hand count. Returns None if the backend does not
-    expose cost analysis.
+    actually runs, not a hand count. Returns (flops, None) on success or
+    (None, "<error>") — the caller MUST surface the error string in the
+    emitted JSON (r4 verdict: these fields silently vanished from
+    BENCH_r04.json because the failure only went to a discarded stderr).
     """
     try:
         total = 0.0
@@ -133,10 +136,10 @@ def measured_flops(fns, *args_lists):
             if isinstance(c, (list, tuple)):
                 c = c[0]
             total += float(c["flops"])
-        return total
-    except Exception:
+        return total, None
+    except Exception as e:
         traceback.print_exc()
-        return None
+        return None, f"{type(e).__name__}: {e}"
 
 
 def check_kernel_parity(cfg_kernel, cfg_xla):
@@ -235,14 +238,16 @@ def stage_calibrate() -> dict:
     if len(fwd.parts) == 2:
         front, tail = fwd.parts
         feats, ll = front(params, key)
-        flops = measured_flops([front, tail], [(params, key), (params, feats, ll)])
+        flops, err = measured_flops([front, tail], [(params, key), (params, feats, ll)])
     else:
-        flops = measured_flops(list(fwd.parts), [(params, key)])
+        flops, err = measured_flops(list(fwd.parts), [(params, key)])
     if flops is not None:
         tflops_achieved = flops / dt / 1e12
         out["serve_gflops_per_image"] = round(flops / B / 1e9, 1)
         out["serve_tflops_achieved"] = round(tflops_achieved, 2)
         out["serve_mfu"] = round(tflops_achieved / PEAK_BF16_TFLOPS, 4)
+    else:
+        out["serve_flops_error"] = err
     return out
 
 
@@ -276,14 +281,15 @@ def stage_train() -> dict:
     batch = shard_batch(ge._synthetic_batch(Bt, H, W), mesh)
     step_fn = make_sharded_train_step(net, cfg, mesh)
 
-    flops = None
+    flops, flops_err = None, None
     try:
         c = step_fn.lower(state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
         flops = float(c["flops"])
-    except Exception:
+    except Exception as e:
         traceback.print_exc()
+        flops_err = f"{type(e).__name__}: {e}"
 
     # compile + TWO warm steps: through the remote relay the first post-
     # compile dispatch drains a multi-second queue (measured 20 s once) and
@@ -303,6 +309,8 @@ def stage_train() -> dict:
         rec["train_gflops_per_image"] = round(flops / Bt / 1e9, 1)
         rec["train_tflops_achieved"] = round(tflops_achieved, 2)
         rec["train_mfu"] = round(tflops_achieved / PEAK_BF16_TFLOPS, 4)
+    else:
+        rec["train_flops_error"] = flops_err
     return rec
 
 

@@ -85,12 +85,15 @@ class SimpleDataset:
         return {"image": img.astype(np.float32), "gt_params": params}
 
     def epoch(
-        self, epoch: int = 0, shard: int = 0, num_shards: int = 1
+        self, epoch: int = 0, shard: int = 0, num_shards: int = 1,
+        start_batch: int = 0,
     ) -> Iterator[Dict[str, Array]]:
         """Yield static-shape batches for one epoch (drops the partial tail).
 
         gt_params rows are (w, h, vfov, roll, pitch, k1, k2); use
         `batch_to_device_fields` in the step to build cameras + GT fields.
+        start_batch skips ahead WITHOUT decoding the skipped batches (the
+        rotating val window seeks instead of re-decoding from index 0).
         """
         conf = self.conf
         order = np.arange(len(self.rows))
@@ -99,7 +102,7 @@ class SimpleDataset:
         order = order[shard::num_shards]
 
         B = conf.batch_size
-        for start in range(0, len(order) - B + 1, B):
+        for start in range(start_batch * B, len(order) - B + 1, B):
             idx = order[start : start + B]
             samples = [
                 self._load_row(self.rows[i], aug_seed=conf.seed + epoch * 1_000_003 + i)

@@ -125,9 +125,17 @@ def fused_heads_apply(up_params: Params, lat_params: Params, hl: Sequence[Array]
 
 
 def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
-                nmf_kernel: Optional[bool] = None) -> Array:
+                nmf_kernel: Optional[bool] = None,
+                nmf_rng: Optional[Array] = None,
+                nmf_train: bool = False) -> Array:
     """Head stages through the second upsample: returns fused feats
-    (B, H, W, 2*out_ch) at full resolution."""
+    (B, H, W, 2*out_ch) at full resolution.
+
+    nmf_rng/nmf_train: training mode — draw independent NMF bases per
+    stacked half from nmf_rng (mirroring the per-head module path, where
+    each head's NMF2D folds its own "nmf" stream) and run the train-step
+    count; forces the differentiable XLA NMF (the Pallas kernel has no VJP).
+    """
     pu, pl = up_params["LightHamHead_0"], lat_params["LightHamHead_0"]
     dtype = hl[0].dtype
 
@@ -146,10 +154,14 @@ def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
     # --- Hamburger per head, NMF batch-stacked across heads
     B = x.shape[0]
     rank = NMF2D().rank
-    # identical draw to the unfused eval path (hamburger.py: PRNGKey(0),
-    # (B, D, R)); tiled so each stacked half sees the same bases
-    bases = jax.random.uniform(jax.random.PRNGKey(0), (B, ham_ch, rank), dtype=dtype)
-    bases2 = jnp.tile(bases, (2, 1, 1))
+    if nmf_rng is not None:
+        # independent draw per stacked half (per-head training semantics)
+        bases2 = jax.random.uniform(nmf_rng, (2 * B, ham_ch, rank), dtype=dtype)
+    else:
+        # identical draw to the unfused eval path (hamburger.py: PRNGKey(0),
+        # (B, D, R)); tiled so each stacked half sees the same bases
+        bases = jax.random.uniform(jax.random.PRNGKey(0), (B, ham_ch, rank), dtype=dtype)
+        bases2 = jnp.tile(bases, (2, 1, 1))
 
     # run the two halves' first 1x1s, stack for one NMF, then unstack
     k0u, b0u = _ck(pu["Hamburger_0"]["ConvModule_0"])
@@ -158,6 +170,8 @@ def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
     hl_ = jax.nn.relu(_conv(xl, k0l, b0l))
     Hh, Wh = hu.shape[1:3]
     stacked = jnp.concatenate([hu, hl_], axis=0).reshape(2 * B, Hh * Wh, ham_ch)
+    if nmf_train:
+        nmf_kernel = False
     if nmf_kernel is None:
         # the Pallas NMF kernel uses TPU-only pltpu primitives (CompilerParams,
         # VMEM scoping) — never auto-enable on GPU/METAL backends
@@ -182,7 +196,7 @@ def _head_front(up_params: Params, lat_params: Params, hl: Sequence[Array],
 
         recon = nmf_pallas(stacked, bases2, steps=NMF2D().eval_steps)
     else:
-        recon = NMF2D().apply({}, stacked, bases=bases2)
+        recon = NMF2D().apply({}, stacked, train=nmf_train, bases=bases2)
     recon = recon.reshape(2 * B, Hh, Wh, ham_ch)
     hu, hl_ = recon[:B], recon[B:]
 
@@ -362,6 +376,62 @@ def fused_tail_from_variables(variables: Dict[str, Any], feats: Array, ll: Array
     """`fused_tail` addressed by the full variables dict (serving helper)."""
     p = variables["params"]
     return fused_tail(p["UpDecoder_0"], p["LatitudeDecoder_0"], feats, ll)
+
+
+def fused_forward_train(
+    variables: Dict[str, Any],
+    image: Array,
+    variant: str = "b",
+    drop_path_rate: float = 0.0,
+    rngs: Optional[Dict[str, Array]] = None,
+    bn_axis_name: Optional[str] = None,
+) -> Tuple[Dict[str, Array], Dict[str, Any]]:
+    """TRAINING forward with the decoder heads fused into one 128-wide tower.
+
+    The backbone runs as the regular Flax MSCAN (train mode: BN batch stats
+    mutation + optional cross-chip sync, drop-path rng); the decoder heads
+    run as the fused block-diagonal tower — the exact same math as the
+    per-head modules (off-diagonal blocks are exactly 0) at the MXU's
+    128-lane width, so gradients match the per-head path bit-for-float-
+    reassociation. Train-mode NMF: 6 multiplicative updates, independent
+    bases per head drawn from rngs["nmf"].
+
+    Returns (fields, new_batch_stats) — a drop-in for
+    GeoCalibNet.apply(..., train=True, mutable=["batch_stats"]).
+    """
+    rngs = rngs or {}
+    dims, ratios, depths = MSCAN_VARIANTS[variant]
+    p = variables["params"]
+    bs = variables.get("batch_stats", {})
+
+    mscan = MSCAN(
+        embed_dims=dims,
+        mlp_ratios=ratios,
+        depths=depths,
+        drop_path_rate=drop_path_rate,
+        bn_axis_name=bn_axis_name,
+    )
+    hl, mut = mscan.apply(
+        {"params": p["MSCAN_0"], "batch_stats": bs.get("MSCAN_0", {})},
+        image,
+        train=True,
+        rngs={k: v for k, v in rngs.items() if k == "dropout"},
+        mutable=["batch_stats"],
+    )
+
+    # LowLevelEncoder: two norm-free ConvModules (no BN/rng to thread)
+    pll = p["LowLevelEncoder_0"]
+    k0, b0 = _ck(pll["ConvModule_0"])
+    k1, b1 = _ck(pll["ConvModule_1"])
+    ll = jax.nn.relu(_conv(image, k0, b0, pad=1))
+    ll = jax.nn.relu(_conv(ll, k1, b1, pad=1))
+
+    feats = _head_front(
+        p["UpDecoder_0"], p["LatitudeDecoder_0"], hl,
+        nmf_rng=rngs.get("nmf"), nmf_train=True,
+    )
+    fields = fused_tail(p["UpDecoder_0"], p["LatitudeDecoder_0"], feats, ll)
+    return fields, {"batch_stats": {"MSCAN_0": mut["batch_stats"]}}
 
 
 def fused_forward(variables: Dict[str, Any], image: Array, variant: str = "b") -> Dict[str, Array]:

@@ -50,6 +50,13 @@ class TrainConfig:
     lm_grad_mode: str = "ift"
     variant: str = "b"
     drop_path_rate: float = 0.1
+    # Run the two decoder heads as the fused 128-wide block-diagonal tower
+    # in the TRAINING forward too (models/fused_heads.fused_forward_train).
+    # The block-diagonal form is mathematically identical to the per-head
+    # towers (off-blocks are exactly 0), so gradients match; the 64-wide
+    # tail convs only reach ~32 GFLOP/ms on the MXU vs ~69 fused
+    # (tools/profile_tail_grouped.py). Measured: tools/profile_train_budget.py.
+    fused_forward: bool = True
     # mixed precision: CNN forward/backward in this dtype, LM solver, losses,
     # master params and optimizer state in f32 (the TPU equivalent of the
     # reference's AMP autocast, siclib/train.py:360-367 — bf16 needs no
@@ -149,7 +156,19 @@ def loss_and_updates(
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
     )
-    if train:
+    if train and cfg.fused_forward:
+        from geocalib_tpu.models.fused_heads import fused_forward_train
+
+        fields, mutated = fused_forward_train(
+            {"params": cast(params), "batch_stats": batch_stats},
+            batch["image"].astype(dtype),
+            variant=cfg.variant,
+            drop_path_rate=cfg.drop_path_rate,
+            rngs={"dropout": d_rng, "nmf": n_rng},
+            bn_axis_name=net.bn_axis_name,
+        )
+        new_stats = mutated["batch_stats"]
+    elif train:
         fields, mutated = net.apply(
             {"params": cast(params), "batch_stats": batch_stats},
             batch["image"].astype(dtype),

