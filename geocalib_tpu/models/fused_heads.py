@@ -49,7 +49,25 @@ def _ck(p: Params) -> Tuple[Array, Optional[Array]]:
     return q["kernel"], q.get("bias")
 
 
+# 3x3 conv lowering inside the serving tail: "direct" = dense XLA conv
+# (the measured r4 default); "winograd" = F(2x2,3x3) via ops/winograd.py —
+# 2.25x fewer multiplies per output tile. Flip only on a measured win
+# (tools/profile_tail_winograd.py); differentiable either way.
+_CONV3_MODE = "direct"
+
+
 def _conv(x: Array, k: Array, b: Optional[Array] = None, pad: int = 0) -> Array:
+    if (
+        _CONV3_MODE == "winograd"
+        and k.shape[0] == 3
+        and k.shape[1] == 3
+        and pad == 1
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        from geocalib_tpu.ops.winograd import winograd_conv3x3
+
+        return winograd_conv3x3(x, k, b)
     out = jax.lax.conv_general_dilated(
         x, k.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

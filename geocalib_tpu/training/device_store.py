@@ -126,6 +126,106 @@ class DeviceStore:
             progress(f"staged {n} images in {time.time() - t0:.0f}s")
         return cls(images=images, gt_params=gt)
 
+    @classmethod
+    def stage_sharded(
+        cls,
+        dataset,
+        mesh: Mesh,
+        row_indices=None,
+        chunk_images: int = 256,
+        progress: Optional[Callable[[str], None]] = print,
+    ) -> "DeviceStore":
+        """Stage with rows SHARDED over the mesh's data axis.
+
+        Each device holds a contiguous 1/n_devices slice of the rows and the
+        train step samples from its local slice only (per-device i.i.d.
+        sampling from a random row partition ≡ global i.i.d. sampling).
+        Multi-process safe: every process decodes and uploads only the rows
+        of its own addressable devices, then the global arrays are assembled
+        from single-device buffers — no process ever materializes another
+        host's shard (r4 verdict #6; the host-loader analog is
+        SimpleDataset.epoch(shard=...), reference base_dataset.py:167-193).
+        """
+        from geocalib_tpu.utils.image import load_image
+
+        rows_idx = (
+            [int(i) for i in row_indices]
+            if row_indices is not None
+            else list(range(len(dataset.rows)))
+        )
+        assert rows_idx, "empty dataset"
+        n_dev = int(np.prod(mesh.devices.shape))
+        if len(rows_idx) < n_dev:
+            # tiny splits (tests): pad cyclically so every device owns a row
+            rows_idx = [rows_idx[i % len(rows_idx)] for i in range(n_dev)]
+        n = (len(rows_idx) // n_dev) * n_dev
+        rows_idx = rows_idx[:n]
+        per_dev = n // n_dev
+        img_dir = dataset.image_dir
+
+        first = load_image(img_dir / dataset.rows[rows_idx[0]]["fname"])
+        h, w = first.shape[:2]
+        img_sh = NamedSharding(mesh, P(DATA_AXIS))
+        par_sh = NamedSharding(mesh, P(DATA_AXIS))
+        imap = img_sh.addressable_devices_indices_map((n, h, w, 3))
+
+        t0 = time.time()
+        img_bufs, par_bufs = [], []
+        done = 0
+        for dev, nd_idx in imap.items():
+            lo = nd_idx[0].start or 0
+            hi = nd_idx[0].stop if nd_idx[0].stop is not None else n
+            sel = rows_idx[lo:hi]
+            params = np.zeros((len(sel), 7), np.float32)
+            chunks = []
+            for c0 in range(0, len(sel), chunk_images):
+                cidx = sel[c0 : c0 + chunk_images]
+                host = np.stack(
+                    [
+                        np.clip(
+                            load_image(img_dir / dataset.rows[i]["fname"]) * 255.0,
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                        for i in cidx
+                    ]
+                )
+                assert host.shape[1:3] == (h, w), (
+                    f"staged datasets must be fixed-size; got {host.shape[1:3]} vs {(h, w)}"
+                )
+                chunk = jax.device_put(host, dev)
+                chunk.block_until_ready()
+                chunks.append(chunk)
+                done += len(cidx)
+                if progress:
+                    mb = done * h * w * 3 / 1e6
+                    progress(
+                        f"staging {done}/{len(imap) * per_dev} images ({mb:.0f} MB, "
+                        f"{mb / max(time.time() - t0, 1e-9):.1f} MB/s)"
+                    )
+            for j, i in enumerate(sel):
+                row = dataset.rows[i]
+                params[j] = (
+                    float(row["width"]),
+                    float(row["height"]),
+                    float(row["vfov"]),
+                    float(row["roll"]),
+                    float(row["pitch"]),
+                    float(row.get("k1", 0.0) or 0.0),
+                    float(row.get("k2", 0.0) or 0.0),
+                )
+            buf = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+            img_bufs.append(buf)
+            par_bufs.append(jax.device_put(params, dev))
+
+        images = jax.make_array_from_single_device_arrays((n, h, w, 3), img_sh, img_bufs)
+        gt = jax.make_array_from_single_device_arrays((n, 7), par_sh, par_bufs)
+        if progress:
+            progress(
+                f"staged {done} local rows of {n} global in {time.time() - t0:.0f}s"
+            )
+        return cls(images=images, gt_params=gt)
+
 
 def sample_batch(
     store_images: Array,
@@ -147,60 +247,106 @@ def make_staged_train_step(
     net, cfg, mesh: Mesh, batch_size: int, augment: bool = True
 ):
     """jit((state, images, params, rng) -> (state, scalars)) — everything,
-    including batch assembly, in one on-device executable."""
+    including batch assembly, in one on-device executable.
+
+    The store arrives SHARDED over the data axis (DeviceStore.stage_sharded)
+    and every device samples its batch_size/n_devices rows from its LOCAL
+    slice — no cross-device gathers, and identical math for any process
+    count over the same mesh shape (the 2-process CPU test pins this)."""
     from geocalib_tpu.training.train_step import train_step
 
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+    local_b = batch_size // n_dev
+
+    def body(state, images, gt_params, rng):
+        k_batch, k_step = jax.random.split(rng)
+        # decorrelate the sample draw per device (the step itself folds the
+        # axis index again for its dropout/augment rngs)
+        k_batch = jax.random.fold_in(k_batch, jax.lax.axis_index(DATA_AXIS))
+        batch = sample_batch(images, gt_params, k_batch, local_b, augment)
+        return train_step(net, cfg, state, batch, k_step)
+
     sharded = jax.shard_map(
-        lambda s, b, r: train_step(net, cfg, s, b, r),
+        body,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, images, gt_params, rng):
-        k_batch, k_step = jax.random.split(rng)
-        batch = sample_batch(images, gt_params, k_batch, batch_size, augment)
-        batch = jax.lax.with_sharding_constraint(batch, batch_sh)
-        return sharded(state, batch, k_step)
-
-    return step
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_staged_eval_step(net, cfg, batch_size: int):
-    """Deterministic on-device validation over a window of staged rows."""
+def make_staged_eval_step(net, cfg, batch_size: int, mesh: Optional[Mesh] = None):
+    """Deterministic on-device validation over a window of staged rows.
+
+    With a mesh, the val store is sharded like the train store and each
+    device evaluates its batch_size/n_devices-row window of its LOCAL
+    slice; scalars are pmean'd — identical for any process count."""
     from geocalib_tpu.training.train_step import loss_and_updates
 
-    @jax.jit
-    def eval_window(state, images, gt_params, start, rng):
-        idx = (start + jnp.arange(batch_size)) % images.shape[0]
+    def _metrics(state, batch, rng, axis=None):
+        _, (_, losses, metrics) = loss_and_updates(
+            net, cfg, state.params, state.batch_stats, batch, rng, train=False
+        )
+        red = (
+            (lambda v: jax.lax.pmean(v.mean(), axis))
+            if axis
+            else (lambda v: v.mean())
+        )
+        out = {f"loss/{k}": red(v) for k, v in losses.items()}
+        out |= {f"metric/{k}": red(v) for k, v in metrics.items()}
+        return out
+
+    if mesh is None:
+        @jax.jit
+        def eval_window(state, images, gt_params, start, rng):
+            idx = (start + jnp.arange(batch_size)) % images.shape[0]
+            batch = {
+                "image": jnp.take(images, idx, axis=0).astype(jnp.float32) / 255.0,
+                "gt_params": jnp.take(gt_params, idx, axis=0),
+            }
+            return _metrics(state, batch, rng)
+
+        return eval_window
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+    local_b = batch_size // n_dev
+
+    def body(state, images, gt_params, start, rng):
+        idx = (start + jnp.arange(local_b)) % images.shape[0]
         batch = {
             "image": jnp.take(images, idx, axis=0).astype(jnp.float32) / 255.0,
             "gt_params": jnp.take(gt_params, idx, axis=0),
         }
-        _, (_, losses, metrics) = loss_and_updates(
-            net, cfg, state.params, state.batch_stats, batch, rng, train=False
-        )
-        out = {f"loss/{k}": v.mean() for k, v in losses.items()}
-        out |= {f"metric/{k}": v.mean() for k, v in metrics.items()}
-        return out
+        return _metrics(state, batch, rng, axis=DATA_AXIS)
 
-    return eval_window
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def staged_evaluate(
     eval_window, state, store: DeviceStore, rng, batch_size: int, max_batches: int = 10,
-    eval_idx: int = 0,
+    eval_idx: int = 0, n_shards: int = 1,
 ) -> Dict[str, float]:
-    """Rotating-window validation (mirrors training.train.evaluate)."""
-    n = len(store)
-    n_batches = max(1, n // batch_size)
+    """Rotating-window validation (mirrors training.train.evaluate).
+
+    n_shards: number of devices the store is sharded over — window indices
+    are then in LOCAL row space (each device walks its own slice)."""
+    n = len(store) // n_shards
+    local_b = batch_size // n_shards
+    n_batches = max(1, n // local_b)
     start0 = (eval_idx * max_batches) % n_batches if n_batches > max_batches else 0
     agg: Dict[str, list] = {}
     for i in range(min(max_batches, n_batches)):
-        start = ((start0 + i) * batch_size) % max(n - batch_size + 1, 1)
+        start = ((start0 + i) * local_b) % max(n - local_b + 1, 1)
         out = eval_window(
             state, store.images, store.gt_params, jnp.asarray(start, jnp.int32), rng
         )

@@ -371,7 +371,6 @@ def _staged_training(
         staged_evaluate,
     )
 
-    assert jax.process_count() == 1, "staged mode is single-process"
     out_dir = Path(output_dir)
     writer = SummaryWriter(out_dir / "logs")
     save_yaml(conf, out_dir / "config.yaml")
@@ -404,13 +403,7 @@ def _staged_training(
             camera_model=dconf.get("camera_model", cfg.camera_model),
         )
     )
-    # host-side decode only; augmentation happens on device. Stores are
-    # replicated over the mesh (r3 advisor fix: an unsharded device_put
-    # commits to device 0 and the sharded step then fails to compile on
-    # multi-device meshes).
-    from geocalib_tpu.parallel.mesh import replicated as _replicated
-
-    repl = _replicated(mesh)
+    # host-side decode only; augmentation happens on device
     train_ds = mk_ds("train.csv", "identity")
 
     # datasets larger than their HBM budget are staged as rotating random
@@ -421,23 +414,27 @@ def _staged_training(
     refresh_every = int(conf["train"].get("staged_refresh_every", 5000))
     store_rng = np.random.default_rng(int(conf["seed"]) + 17)
 
+    # stores are sharded over the data axis: each process decodes + uploads
+    # only its own devices' rows (multi-process staged training, r4 #6);
+    # store_rng is identically seeded on every process so subset draws agree
     def stage_train() -> DeviceStore:
         if staged_subset and staged_subset < len(train_ds.rows):
             idx = store_rng.choice(
                 len(train_ds.rows), size=staged_subset, replace=False
             )
-            return DeviceStore.stage(train_ds, sharding=repl, row_indices=idx)
-        return DeviceStore.stage(train_ds, sharding=repl)
+            return DeviceStore.stage_sharded(train_ds, mesh, row_indices=idx)
+        return DeviceStore.stage_sharded(train_ds, mesh)
 
     store = stage_train()
     val_ds = mk_ds("val.csv", "identity")
     val_cap = int(conf["train"].get("staged_val_rows", 2048) or 0)
     val_idx = range(min(val_cap, len(val_ds.rows))) if val_cap else None
-    val_store = DeviceStore.stage(val_ds, sharding=repl, row_indices=val_idx)
+    val_store = DeviceStore.stage_sharded(val_ds, mesh, row_indices=val_idx)
 
+    n_shards = int(np.prod(mesh.devices.shape))
     augment = dconf.get("augmentation", "geocalib") != "identity"
     step_fn = make_staged_train_step(net, cfg, mesh, global_batch, augment=augment)
-    eval_fn = make_staged_eval_step(net, cfg, global_batch)
+    eval_fn = make_staged_eval_step(net, cfg, global_batch, mesh=mesh)
 
     t_conf = conf["train"]
     total = min(int(t_conf["total_steps"]), max_steps or 10**12)
@@ -480,6 +477,7 @@ def _staged_training(
                 eval_fn, state, val_store, rng, global_batch,
                 max_batches=int(t_conf.get("val_batches", 10)),
                 eval_idx=step // int(t_conf["eval_every"]),
+                n_shards=n_shards,
             )
             writer.add_scalars(val, step, prefix="val/")
             key = t_conf["best_key"]

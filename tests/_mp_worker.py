@@ -17,6 +17,16 @@ def main():
 
     import jax
 
+    # match conftest.py: random draws must use the same PRNG implementation
+    # as the single-process reference (the partitionable flag changes
+    # generated values for large draws, e.g. the fused forward's NMF bases)
+    jax.config.update("jax_threefry_partitionable", True)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        ),
+    )
     jax.distributed.initialize(
         coordinator_address=coordinator, num_processes=nproc, process_id=pid
     )
@@ -80,7 +90,34 @@ def main():
     # every lane shares one focal; local lanes suffice for the value
     vfov = float(jax.device_get(out.camera.vfov.addressable_shards[0].data.ravel()[0]))
 
-    print(f"MP_RESULT pid={pid} loss={loss:.8f} checksum={checksum:.4f} vfov={vfov:.8f}")
+    # staged path: store sharded over the global mesh, each process decodes
+    # + uploads only its own devices' rows, one fully-on-chip train step
+    staged_loss = float("nan")
+    if len(sys.argv) > 4:
+        from geocalib_tpu.data.dataset import DatasetConf, SimpleDataset
+        from geocalib_tpu.training.device_store import (
+            DeviceStore,
+            make_staged_train_step,
+        )
+
+        ds = SimpleDataset(
+            DatasetConf(dataset_dir=sys.argv[4], csv_name="train.csv",
+                        batch_size=8, augmentation="identity")
+        )
+        store = DeviceStore.stage_sharded(ds, mesh, progress=None)
+        net2, state2 = create_train_state(
+            jax.random.PRNGKey(0), cfg, (1, 64, 64, 3)
+        )
+        staged_fn = make_staged_train_step(net2, cfg, mesh, 8, augment=True)
+        state2, sc = staged_fn(
+            state2, store.images, store.gt_params, jax.random.PRNGKey(5)
+        )
+        staged_loss = float(jax.device_get(sc["loss/total"]))
+
+    print(
+        f"MP_RESULT pid={pid} loss={loss:.8f} checksum={checksum:.4f} "
+        f"vfov={vfov:.8f} staged={staged_loss:.8f}"
+    )
 
 
 if __name__ == "__main__":

@@ -25,3 +25,8 @@ import jax  # noqa: E402
 # any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# persistent compile cache: the training-step compiles dominate suite time
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)

@@ -146,3 +146,21 @@ def test_head_front_train_nmf_matches_explicit_bases(tiny_net_and_vars):
     np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_train2), rtol=1e-6)
     out_eval = fh._head_front(pu, pl, hl)
     assert not np.allclose(np.asarray(out_train), np.asarray(out_eval), atol=1e-6)
+
+
+def test_winograd_tail_mode_matches_direct(tiny_net_and_vars):
+    """_CONV3_MODE='winograd' must reproduce the direct tail (f32)."""
+    import geocalib_tpu.models.fused_heads as fh
+
+    net, variables, img = tiny_net_and_vars
+    ref = fused_forward(variables, img, variant="tiny")
+    old = fh._CONV3_MODE
+    fh._CONV3_MODE = "winograd"
+    try:
+        out = fused_forward(variables, img, variant="tiny")
+    finally:
+        fh._CONV3_MODE = old
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-3, atol=1e-3, err_msg=k
+        )

@@ -129,3 +129,33 @@ def test_staged_subset_refresh(tiny_ds, tmp_path):
     ]
     losses = [r["loss/total"] for r in log if "loss/total" in r]
     assert len(losses) >= 3 and all(np.isfinite(l) for l in losses)
+
+
+def test_stage_sharded_content_and_layout(tiny_ds):
+    """stage_sharded must lay rows out contiguously per device and match the
+    host decode (the multi-process staged path, r4 verdict #6)."""
+    from geocalib_tpu.data.dataset import DatasetConf, SimpleDataset
+    from geocalib_tpu.parallel.mesh import make_mesh
+    from geocalib_tpu.training.device_store import DeviceStore
+
+    ds = SimpleDataset(
+        DatasetConf(dataset_dir=str(tiny_ds), csv_name="train.csv", batch_size=4,
+                    augmentation="identity")
+    )
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    store = DeviceStore.stage_sharded(ds, mesh, chunk_images=3, progress=None)
+    n = (max(len(ds), n_dev) // n_dev) * n_dev
+    assert store.images.shape == (n, 64, 64, 3)
+    assert len(store.images.sharding.device_set) == n_dev
+    # global row i must equal the host decode of dataset row i
+    for i in (0, n - 1):
+        src = i % len(ds)
+        row = ds._load_row(ds.rows[src], aug_seed=0)["image"]
+        np.testing.assert_allclose(
+            np.asarray(store.images[i], np.float32) / 255.0, row, atol=1.5 / 255
+        )
+    # params rows line up with images rows
+    assert store.gt_params.shape == (n, 7)
+    p0 = np.asarray(store.gt_params[0])
+    assert p0[0] == 64 and p0[1] == 64

@@ -12,7 +12,7 @@ each top-level stage as its own jitted executable:
 
 Each stage consumes device-resident inputs and reduces its output to a
 scalar on device (the axon relay makes host fetches of activations
-prohibitively slow; see bench.py notes). Writes PROFILE_budget_r04.json at
+prohibitively slow; see bench.py notes). Writes PROFILE_budget_r05.json at
 the repo root — the committed artifact directing the perf work.
 """
 
@@ -147,7 +147,7 @@ def main():
             budget[k] = round(v, 2)
     print(json.dumps(budget, indent=2))
     out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "PROFILE_budget_r04.json"
+        os.path.dirname(os.path.abspath(__file__)), "..", "PROFILE_budget_r05.json"
     )
     if B == 16:
         with open(out_path, "w") as fp:
