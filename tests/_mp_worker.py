@@ -49,6 +49,24 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh()  # all 8 global devices
 
+    # Every XLA:CPU executable creates its own Gloo context whose key
+    # exchange times out after 30s — far less than the worker-to-worker
+    # compile skew of the big fused train step. So: AOT-compile each
+    # collective-bearing program, rendezvous at a coordination-service RPC
+    # barrier (no device collective involved), THEN execute — both workers
+    # enter the Gloo key exchange within milliseconds of each other.
+    from jax._src import distributed
+
+    _barrier_n = [0]
+
+    def run_synced(jitted, *args):
+        compiled = jitted.lower(*args).compile()
+        _barrier_n[0] += 1
+        distributed.global_state.client.wait_at_barrier(
+            f"compiled_{_barrier_n[0]}", 900_000
+        )
+        return compiled(*args)
+
     # deterministic GLOBAL batch; this process keeps only its own rows
     B, H, W = n_dev * 2, 64, 64
     batch = ge._synthetic_batch(B, H, W)
@@ -59,7 +77,7 @@ def main():
     cfg = TrainConfig(variant="tiny", lm_steps=3, drop_path_rate=0.1)
     net, state = create_train_state(jax.random.PRNGKey(0), cfg, (1, H, W, 3))
     step_fn = make_sharded_train_step(net, cfg, mesh)
-    state, scalars = step_fn(state, gbatch, jax.random.PRNGKey(1))
+    state, scalars = run_synced(step_fn, state, gbatch, jax.random.PRNGKey(1))
     loss = float(jax.device_get(scalars["loss/total"]))
     checksum = float(
         sum(
@@ -86,7 +104,7 @@ def main():
             check_vma=False,
         )
     )
-    out = sharded_lm(shard_batch(data, mesh))
+    out = run_synced(sharded_lm, shard_batch(data, mesh))
     # every lane shares one focal; local lanes suffice for the value
     vfov = float(jax.device_get(out.camera.vfov.addressable_shards[0].data.ravel()[0]))
 
@@ -109,8 +127,8 @@ def main():
             jax.random.PRNGKey(0), cfg, (1, 64, 64, 3)
         )
         staged_fn = make_staged_train_step(net2, cfg, mesh, 8, augment=True)
-        state2, sc = staged_fn(
-            state2, store.images, store.gt_params, jax.random.PRNGKey(5)
+        state2, sc = run_synced(
+            staged_fn, state2, store.images, store.gt_params, jax.random.PRNGKey(5)
         )
         staged_loss = float(jax.device_get(sc["loss/total"]))
 

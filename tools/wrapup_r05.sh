@@ -13,12 +13,15 @@ python -m geocalib_tpu.training.export outputs/training/geocalib_synth_r04 \
 # 2) radial fine-tune from the pinhole weights (>=20k steps, r4 verdict #3;
 #    reference recipe: 200k @ lr 1e-5 from the pinhole ckpt,
 #    siclib/configs/geocalib-radial.yaml)
+# batch 12 (not the pinhole 24): the radial LM jacobians make the step
+# ~35% costlier per image, and the 1e-5-lr fine-tune is insensitive to the
+# smaller batch — 12 maximizes steps/hour on the single chip
 python -m geocalib_tpu.training.train geocalib_radial_r05 --staged \
-    data.dataset_dir=data/openpano_radial_v2 data.batch_size=18 \
+    data.dataset_dir=data/openpano_radial_v2 data.batch_size=12 \
     data.camera_model=simple_radial \
     train.camera_model=simple_radial train.lr=1e-5 train.warmup_steps=200 \
     train.total_steps=20000 'train.decay_milestones=[16000]' \
-    train.eval_every=2000 train.save_every=4000 train.figures_every=0 \
+    train.eval_every=2500 train.save_every=4000 train.figures_every=0 \
     train.init_weights=weights/geocalib_synth_r05.msgpack \
     train.staged_subset=8192 train.staged_val_rows=512 \
     > outputs/train_radial_r05.log 2>&1
@@ -40,6 +43,8 @@ python tools/make_accuracy_table.py \
     --methods geocalib,deepcalib \
     --deepcalib_weights weights/deepcalib_deepcalib_r05.msgpack \
     --merge_json outputs/results/accuracy_table.json \
+    --compare_json outputs/results/accuracy_table_r04.json \
+    --compare_label "GeoCalib-TPU @36k steps (round 4)" \
     --title "OpenPano-synth-v2 test split (4,096 images, ray-traced 3D scenes)"
 
 cp outputs/results/baselines_radial.json outputs/results/accuracy_radial.json
