@@ -162,6 +162,45 @@ def device_augment(img: Array, rng: Array) -> Array:
     return img
 
 
+def device_augment_dark(img: Array, rng: Array) -> Array:
+    """Low-light preset on device; img (B,H,W,3) f32 in [0,1].
+
+    Device twin of `data/augmentations.DarkAugmentation` (the reference's
+    "dark" preset, siclib/datasets/augmentations.py): gamma-crush the
+    shadows, dim, then add sensor noise. Branch-free like device_augment.
+    """
+    b = img.shape[0]
+    k = jax.random.split(rng, 4)
+    gamma = _per_image(k[0], b, 1.5, 3.0)
+    img = jnp.clip(img, 0.0, 1.0) ** gamma
+    img = img * _per_image(k[1], b, 0.3, 0.7)
+    sigma = _per_image(k[2], b, 0.01, 0.05)
+    return jnp.clip(img + sigma * jax.random.normal(k[3], img.shape), 0.0, 1.0)
+
+
+def device_augment_deepcalib(img: Array, rng: Array) -> Array:
+    """DeepCalib training preset on device.
+
+    The reference's "deepcalib" zoo (siclib/datasets/augmentations.py:253-274)
+    is the geocalib photometric stack at similar probabilities plus
+    per-pixel multiplicative noise (A.MultiplicativeNoise 0.85-1.15,
+    elementwise, p=0.5); compose the existing pipeline with that stage.
+    """
+    b = img.shape[0]
+    k_base, k_gate, k_mul = jax.random.split(rng, 3)
+    img = device_augment(img, k_base)
+    mul = jax.random.uniform(k_mul, img.shape, minval=0.85, maxval=1.15)
+    return jnp.clip(img * jnp.where(_gate(k_gate, b, 0.5) > 0, mul, 1.0), 0.0, 1.0)
+
+
+DEVICE_AUGMENTATIONS = {
+    "identity": lambda img, rng: img,
+    "geocalib": device_augment,
+    "dark": device_augment_dark,
+    "deepcalib": device_augment_deepcalib,
+}
+
+
 def augment_stats(img: Array, rng: Array) -> Tuple[Array, Array]:
     """Mean/std of the augmented batch (pinning hook for tests)."""
     out = device_augment(img, rng)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from geocalib_tpu.data.device_augment import device_augment
+from geocalib_tpu.data.device_augment import DEVICE_AUGMENTATIONS, device_augment
 from geocalib_tpu.parallel.mesh import DATA_AXIS
 
 Array = jnp.ndarray
@@ -232,14 +232,19 @@ def sample_batch(
     store_params: Array,
     rng: Array,
     batch_size: int,
-    augment: bool = True,
+    augment=True,
 ) -> Dict[str, Array]:
-    """On-device batch assembly: sample, decode, augment."""
+    """On-device batch assembly: sample, decode, augment.
+
+    `augment` is a preset name from DEVICE_AUGMENTATIONS ("geocalib",
+    "dark", "identity"); True/False keep their old meaning as aliases for
+    "geocalib"/"identity".
+    """
     k_idx, k_aug = jax.random.split(rng)
     idx = jax.random.randint(k_idx, (batch_size,), 0, store_images.shape[0])
     img = jnp.take(store_images, idx, axis=0).astype(jnp.float32) / 255.0
-    if augment:
-        img = device_augment(img, k_aug)
+    preset = {True: "geocalib", False: "identity"}.get(augment, augment)
+    img = DEVICE_AUGMENTATIONS[preset](img, k_aug)
     return {"image": img, "gt_params": jnp.take(store_params, idx, axis=0)}
 
 

@@ -57,6 +57,9 @@ default_conf: Dict[str, Any] = {
         "block_config": [4, 8, 12, 8],
         "growth_rate": 32,
         "staged_subset": 8192,
+        # device augmentation preset (reference deepcalib.yaml trains with
+        # its "deepcalib" zoo; see data/device_augment.DEVICE_AUGMENTATIONS)
+        "augmentation": "deepcalib",
     },
     "data": {"dataset_dir": "", "batch_size": 32},
 }
@@ -78,11 +81,11 @@ def gt_heads(gt_params: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"roll": roll, "rho": rho, "vfov": vfov, "k1_hat": k1_hat}
 
 
-def make_train_step(net: DeepCalib, opt, num_bins: int, batch_size: int):
+def make_train_step(net: DeepCalib, opt, num_bins: int, batch_size: int, augment="deepcalib"):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images, gt_params, rng):
         k_batch, k_drop = jax.random.split(rng)
-        batch = sample_batch(images, gt_params, k_batch, batch_size, augment=True)
+        batch = sample_batch(images, gt_params, k_batch, batch_size, augment=augment)
         gt = gt_heads(batch["gt_params"])
 
         def loss_fn(p):
@@ -204,7 +207,7 @@ def training(conf: Dict[str, Any], output_dir: str, restore: bool = False):
         val_ds, sharding=repl, row_indices=range(min(1024, len(val_ds.rows)))
     )
 
-    step_fn = make_train_step(net, opt, num_bins, batch)
+    step_fn = make_train_step(net, opt, num_bins, batch, t_conf.get("augmentation", "deepcalib"))
     eval_fn = make_eval_step(net, num_bins, batch)
 
     total = int(t_conf["total_steps"])

@@ -103,3 +103,44 @@ def test_device_augment_lowpass_always_applied(img):
     # instead of the exact input energy: the blur must keep gradients bounded
     for i in range(8):
         assert hf_energy(out[i]) < 5 * hf_energy(img) + 0.05
+
+
+def test_preset_registry(img):
+    """The named device presets: identity is exact, dark darkens (it is the
+    host DarkAugmentation's gamma-crush + dim + noise), deepcalib adds
+    multiplicative noise on top of the geocalib stack."""
+    from geocalib_tpu.data.device_augment import DEVICE_AUGMENTATIONS
+
+    batch = jnp.stack([jnp.asarray(img)] * 4)
+    key = jax.random.PRNGKey(7)
+    outs = {}
+    for name, fn in DEVICE_AUGMENTATIONS.items():
+        out = fn(batch, key)
+        assert out.shape == batch.shape and bool(jnp.isfinite(out).all()), name
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0, name
+        outs[name] = out
+    assert jnp.array_equal(outs["identity"], batch)
+    # dark: mean over several draws clearly below the input mean
+    means = [
+        float(DEVICE_AUGMENTATIONS["dark"](batch, jax.random.PRNGKey(i)).mean())
+        for i in range(8)
+    ]
+    assert max(means) < float(batch.mean()) * 0.8
+    assert not jnp.array_equal(outs["deepcalib"], outs["geocalib"])
+
+
+def test_sample_batch_accepts_preset_names(img):
+    """sample_batch's augment arg: True/False aliases plus preset strings."""
+    from geocalib_tpu.training.device_store import sample_batch
+
+    store = jnp.stack([jnp.asarray(img * 255, jnp.uint8)] * 6)
+    params = jnp.arange(6 * 4, dtype=jnp.float32).reshape(6, 4)
+    key = jax.random.PRNGKey(3)
+    b_false = sample_batch(store, params, key, 4, augment=False)
+    b_ident = sample_batch(store, params, key, 4, augment="identity")
+    assert jnp.array_equal(b_false["image"], b_ident["image"])
+    b_true = sample_batch(store, params, key, 4, augment=True)
+    b_geo = sample_batch(store, params, key, 4, augment="geocalib")
+    assert jnp.array_equal(b_true["image"], b_geo["image"])
+    b_dark = sample_batch(store, params, key, 4, augment="dark")
+    assert float(b_dark["image"].mean()) < float(b_false["image"].mean())
