@@ -60,6 +60,8 @@ default_conf: Dict[str, Any] = {
         # device augmentation preset (reference deepcalib.yaml trains with
         # its "deepcalib" zoo; see data/device_augment.DEVICE_AUGMENTATIONS)
         "augmentation": "deepcalib",
+        # warm-start from an exported msgpack (empty = train from scratch)
+        "init_weights": "",
     },
     "data": {"dataset_dir": "", "batch_size": 32},
 }
@@ -182,6 +184,21 @@ def training(conf: Dict[str, Any], output_dir: str, restore: bool = False):
     if restore and manager.latest_step() is not None:
         state, start_step = manager.restore(state)
         print(f"restored checkpoint at step {start_step}")
+    elif str(t_conf.get("init_weights", "") or ""):
+        # warm-start from an exported msgpack (same bridge as the flagship's
+        # train.init_weights; lets a later round continue a baseline run
+        # whose orbax dir is gone)
+        from flax import serialization
+
+        raw = Path(str(t_conf["init_weights"])).read_bytes()
+        payload = serialization.from_bytes(None, raw)
+        state = state.replace(
+            params=serialization.from_state_dict(variables["params"], payload["params"]),
+            batch_stats=serialization.from_state_dict(
+                variables.get("batch_stats", {}), payload.get("batch_stats", {})
+            ),
+        )
+        print(f"initialized weights from {t_conf['init_weights']}")
 
     mesh = make_mesh()
     repl = replicated(mesh)
